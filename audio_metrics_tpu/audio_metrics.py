@@ -1,0 +1,332 @@
+"""Top-level AudioMetrics API.
+
+Mirror of reference src/audio_metrics/audio_metrics.py:15-313, the single
+public class of the library: configuration via registries, reference-set
+accumulation, lazy PCA projection, metric dispatch (FAD / KD / PRDC / APA)
+and state persistence.  Differences from the reference are TPU-idiomatic:
+
+- ``device_indices`` selects jax devices and builds a 1-D data-parallel mesh
+  (the reference builds a CUDA free-GPU queue and *raises* on CPU-only hosts,
+  gpu_parallel.py:27-28; here everything runs wherever jax runs).
+- State is saved as a pickle-free ``.npz`` archive instead of ``torch.save``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from .data import AudioMetricsData
+from .metrics.fad import frechet_distance
+from .metrics.kd import kernel_distance
+from .metrics.prdc import prdc
+from .metrics.apa import apa, apa_compute_d_x_xp
+from .projection import IncrementalPCA
+from .models import EMBEDDERS, DEFAULT_EMBEDDER
+from .parallel.pipeline import embedding_pipeline, ItemCategory
+from .parallel.mesh import make_mesh
+from .utils.serialize import save_state_dict, load_state_dict
+
+__all__ = ["AudioMetrics"]
+
+
+class AudioMetrics:
+    # metrics that need the full embeddings (not just mu, sigma)
+    _need_embeddings = set(("kd", "precision", "prdc"))
+    # AudioMetricsData attributes included in serialization
+    _amd = (
+        "stem_reference",
+        "mix_reference",
+        "mix_anti_reference",
+        "stem_reference_pca",
+        "mix_reference_pca",
+        "mix_anti_reference_pca",
+    )
+
+    def __init__(
+        self,
+        metrics=["apa", "fad"],
+        n_pca=None,
+        device_indices=None,
+        embedder=None,
+        mix_function=None,
+        win_dur=5.0,
+        input_sr=None,
+        batch_size=32,
+    ):
+        self.mesh = self._get_mesh(device_indices)
+        self.metrics = metrics
+        self.need_apa = "apa" in self.metrics
+        self.win_dur = win_dur
+        self.input_sr = input_sr
+        self.batch_size = batch_size
+        if n_pca is None:
+            self.stem_projection = None
+            self.mix_projection = None
+        else:
+            self.stem_projection = IncrementalPCA(n_components=n_pca)
+            self.mix_projection = IncrementalPCA(n_components=n_pca)
+
+        if embedder is None or isinstance(embedder, str):
+            self.embedder = self.get_embedder(embedder)
+        else:
+            self.embedder = embedder
+
+        if mix_function is None or isinstance(mix_function, str):
+            self.mix_function = self.get_mix_function(mix_function)
+        else:
+            self.mix_function = mix_function
+
+        self.apa_d_x_xp = None
+
+        if self.need_apa:
+            self.mix_reference = AudioMetricsData(self.store_mix_embeddings)
+            self.mix_anti_reference = AudioMetricsData(self.store_mix_embeddings)
+        else:
+            self.mix_reference = None
+            self.mix_anti_reference = None
+
+        if self.stems_mode:
+            self.stem_reference = AudioMetricsData(self.store_stem_embeddings)
+        else:
+            self.stem_reference = None
+
+        self.mix_reference_pca = None
+        self.mix_anti_reference_pca = None
+        self.stem_reference_pca = None
+
+    # ------------------------------------------------------------------
+    # configuration
+    # ------------------------------------------------------------------
+    @property
+    def stems_mode(self) -> bool:
+        return any(metric for metric in self.metrics if metric != "apa")
+
+    @property
+    def store_mix_embeddings(self) -> bool:
+        return self.need_apa and self.mix_projection is not None
+
+    @property
+    def store_stem_embeddings(self) -> bool:
+        return self.stem_projection is not None or any(
+            metric in self._need_embeddings for metric in self.metrics
+        )
+
+    def _get_mesh(self, device_indices):
+        if device_indices or device_indices is None:
+            try:
+                return make_mesh(device_indices)
+            except RuntimeError:
+                return None
+        return None
+
+    def get_mix_function(self, mix_function):
+        from .ops.mix import MIX_FUNCTIONS, DEFAULT_MIX_FUNCTION
+
+        if mix_function is None:
+            mix_function = DEFAULT_MIX_FUNCTION
+        func = MIX_FUNCTIONS.get(mix_function)
+        if func is None:
+            msg = (
+                f"Unknown mix_function {mix_function}, must be one of "
+                f"{MIX_FUNCTIONS.keys()}"
+            )
+            raise ValueError(msg)
+        return func
+
+    def get_embedder(self, embedder):
+        if embedder is None:
+            embedder = DEFAULT_EMBEDDER
+        info = EMBEDDERS.get(embedder)
+        if info is None:
+            msg = f"Unknown embedder {embedder}, must be one of {EMBEDDERS.keys()}"
+            raise ValueError(msg)
+        factory, kwargs_factory = info
+        return factory(**kwargs_factory())
+
+    # ------------------------------------------------------------------
+    # reference handling
+    # ------------------------------------------------------------------
+    def _run_pipeline(self, waveforms, apa_mode):
+        return embedding_pipeline(
+            waveforms,
+            embedder=self.embedder,
+            mix_function=self.mix_function,
+            apa_mode=apa_mode,
+            stems_mode=self.stems_mode,
+            store_mix_embeddings=self.store_mix_embeddings,
+            store_stem_embeddings=self.store_stem_embeddings,
+            batch_size=self.batch_size,
+            win_dur=self.win_dur,
+            input_sr=self.input_sr,
+            mesh=self.mesh,
+        )
+
+    def add_reference(self, reference) -> None:
+        metrics = self._run_pipeline(
+            reference, apa_mode="reference" if self.need_apa else None
+        )
+
+        stem_reference = metrics.get(ItemCategory.stem)
+        if stem_reference is not None:
+            self.stem_reference_pca = None  # invalidate cache
+            self.stem_reference += stem_reference
+            self.stem_reference.recompute_stats()
+
+        mix_reference = metrics.get(ItemCategory.aligned)
+        if mix_reference is not None:
+            self.mix_reference_pca = None  # invalidate caches
+            self.mix_anti_reference_pca = None
+            self.mix_reference += mix_reference
+
+        mix_anti_reference = metrics.get(ItemCategory.misaligned)
+        if mix_anti_reference is not None:
+            self.mix_anti_reference += mix_anti_reference
+
+    def reset_reference(self) -> None:
+        if self.need_apa:
+            self.apa_d_x_xp = None
+            self.mix_reference = AudioMetricsData(self.store_mix_embeddings)
+            self.mix_anti_reference = AudioMetricsData(self.store_mix_embeddings)
+            self.mix_reference_pca = None
+            self.mix_anti_reference_pca = None
+        if self.stems_mode:
+            self.stem_reference = AudioMetricsData(self.store_stem_embeddings)
+            self.stem_reference_pca = None
+
+    # ------------------------------------------------------------------
+    # PCA projections (lazy, cached; reference audio_metrics.py:163-209)
+    # ------------------------------------------------------------------
+    def ensure_stem_projection(self, ref, cand):
+        if self.stem_projection is None:
+            return ref, cand
+
+        store_embs = any(m in self._need_embeddings for m in self.metrics)
+
+        if self.stem_reference_pca is None:
+            self.stem_projection.partial_fit(ref.embeddings)
+            ref_emb = self.stem_projection.transform(ref.embeddings)
+            ref = AudioMetricsData(store_embs)
+            ref.add(ref_emb)
+            self.stem_reference_pca = ref
+
+        ref = self.stem_reference_pca
+        cand_emb = self.stem_projection.transform(cand.embeddings)
+        cand = AudioMetricsData(store_embs)
+        cand.add(cand_emb)
+        return ref, cand
+
+    def ensure_mix_projection(self, ref, anti_ref, cand):
+        if self.mix_projection is None:
+            return ref, anti_ref, cand
+
+        if self.mix_reference_pca is None:
+            self.mix_projection.partial_fit(ref.embeddings)
+            ref_emb = self.mix_projection.transform(ref.embeddings)
+            anti_ref_emb = self.mix_projection.transform(anti_ref.embeddings)
+            # only apa + fad use mixes, so no need for embeddings
+            ref = AudioMetricsData(store_embeddings=False)
+            anti_ref = AudioMetricsData(store_embeddings=False)
+            ref.add(ref_emb)
+            anti_ref.add(anti_ref_emb)
+            self.mix_reference_pca = ref
+            self.mix_anti_reference_pca = anti_ref
+
+        ref, anti_ref = self.mix_reference_pca, self.mix_anti_reference_pca
+        cand_emb = self.mix_projection.transform(cand.embeddings)
+        cand = AudioMetricsData(store_embeddings=False)
+        cand.add(cand_emb)
+        return ref, anti_ref, cand
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def __call__(self, candidate) -> dict:
+        return self.evaluate(candidate)
+
+    def evaluate(self, candidate) -> dict:
+        self.assert_reference()
+
+        metrics = self._run_pipeline(
+            candidate, apa_mode="candidate" if self.need_apa else None
+        )
+
+        stem_cand = metrics.get(ItemCategory.stem)
+        apa_cand = metrics.get(ItemCategory.aligned)
+        stem_ref = self.stem_reference
+        apa_ref = self.mix_reference
+        apa_anti_ref = self.mix_anti_reference
+
+        if self.stems_mode and stem_cand is None:
+            raise ValueError("No stem candidate embeddings were computed")
+        if self.need_apa and apa_cand is None:
+            raise ValueError("No apa candidate embeddings were computed")
+
+        if self.stems_mode:
+            stem_ref, stem_cand = self.ensure_stem_projection(stem_ref, stem_cand)
+
+        if self.need_apa:
+            apa_ref, apa_anti_ref, apa_cand = self.ensure_mix_projection(
+                apa_ref, apa_anti_ref, apa_cand
+            )
+            if self.apa_d_x_xp is None:
+                self.apa_d_x_xp = apa_compute_d_x_xp(apa_ref, apa_anti_ref)
+
+        result = {}
+        if "fad" in self.metrics:
+            result["fad"] = frechet_distance(stem_cand, stem_ref)
+        if "kd" in self.metrics:
+            result.update(kernel_distance(stem_cand, stem_ref))
+        if "prdc" in self.metrics:
+            k = max(1, min(10, len(stem_ref), len(stem_cand)))
+            result.update(prdc(stem_ref, stem_cand, k))
+        if self.need_apa:
+            result["apa"] = apa(apa_cand, apa_ref, apa_anti_ref, self.apa_d_x_xp)
+        return result
+
+    def assert_reference(self) -> None:
+        msg = (
+            "The reference dataset is empty. This can have various causes:"
+            "  - You have not called AudioMetrics.add_reference()"
+            "  - You have called AudioMetrics.add_reference() with an empty dataset"
+            f"  - The duration of your audio is shorter than `win_dur` ({self.win_dur}s)."
+            "    (You can specify your own `win_dur` when instantiating AudioMetrics)"
+        )
+        if self.stems_mode and self.stem_reference.n is None:
+            raise ValueError(msg)
+        if self.need_apa and self.mix_reference.n is None:
+            raise ValueError(msg)
+
+    # ------------------------------------------------------------------
+    # persistence (reference audio_metrics.py:78-104)
+    # ------------------------------------------------------------------
+    def save_state(self, fp: str | Path) -> None:
+        state = {
+            "win_dur": self.win_dur,
+            "input_sr": self.input_sr,
+            "batch_size": self.batch_size,
+            "metrics": list(self.metrics),
+            "apa_d_x_xp": self.apa_d_x_xp,
+        }
+        for attr in self._amd:
+            item = getattr(self, attr, None)
+            state[attr] = item.serialize() if item else None
+        for attr in ("stem_projection", "mix_projection"):
+            item = getattr(self, attr, None)
+            state[attr] = item.__getstate__() if item is not None else None
+        save_state_dict(state, fp)
+
+    def load_state(self, fp: str | Path) -> None:
+        state = load_state_dict(fp)
+        for attr in self._amd:
+            item = state.pop(attr, None)
+            if item is not None and item.get("n") is not None:
+                setattr(self, attr, AudioMetricsData.deserialize(item))
+            elif item is not None:
+                setattr(self, attr, AudioMetricsData(item.get("store_embeddings", True)))
+        for attr in ("stem_projection", "mix_projection"):
+            item = state.pop(attr, None)
+            if item is not None and getattr(self, attr) is not None:
+                getattr(self, attr).__setstate__(item)
+        state.pop("metrics", None)
+        for k, v in state.items():
+            setattr(self, k, v)

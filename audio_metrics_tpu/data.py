@@ -1,0 +1,256 @@
+"""Streaming statistics accumulator for embedding distributions.
+
+TPU-native counterpart of the reference's ``AudioMetricsData``
+(reference: src/audio_metrics/data.py:18-113).  Design differences:
+
+- Statistics (mean / covariance) are kept on host in numpy float64, exactly
+  like the reference keeps torch.float64 tensors.  The *heavy* work (computing
+  per-batch moments from thousands of embeddings) happens on device in float32
+  via :func:`batch_moments`, which returns raw moments ``(n, sum_x, sum_xxT)``.
+  Raw moments are associative, so they can be merged across batches, across
+  hosts, and across chips with ``jax.lax.psum`` — this is what makes the
+  accumulator mesh-shardable (reference has no equivalent; it merges
+  per-batch (mean, cov) pairs with a Chan update, data.py:77-94).
+- Embeddings are stored as a list of chunks and concatenated lazily, avoiding
+  the reference's O(N^2) repeated ``torch.cat`` (data.py:68-72).
+- ``recompute_stats`` with n == 1 produces a (d, d) zero covariance; the
+  reference inconsistently produces (1, 1) there (data.py:56) — a known quirk
+  we deliberately do not reproduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["AudioMetricsData", "ensure_ndarray", "batch_moments"]
+
+
+def ensure_ndarray(x) -> np.ndarray:
+    """Convert array-likes (numpy, jax, torch) to a numpy ndarray.
+
+    Counterpart of reference data.py:12-15, extended to JAX arrays.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensors expose .detach/.cpu; jax arrays support np.asarray directly
+    if hasattr(x, "detach"):
+        x = x.detach()
+    if hasattr(x, "cpu"):
+        x = x.cpu()
+    return np.asarray(x)
+
+
+def batch_moments(embeddings, mask=None):
+    """Raw moments of a batch of embeddings: ``(n, sum_x, x^T diag(mask) x)``.
+
+    Pure jnp function; jit/pjit-friendly.  ``mask`` (float or bool, shape
+    [batch]) selects valid rows, enabling fixed-shape padded batches and
+    per-category routing on device.  The returned pytree can be merged across
+    chips with ``jax.lax.psum`` — this replaces the reference's host-side
+    per-category ``AudioMetricsData.add`` loop (embed.py:226-236).
+    """
+    import jax.numpy as jnp
+
+    e = jnp.asarray(embeddings, dtype=jnp.float32)
+    if mask is None:
+        n = jnp.asarray(e.shape[0], dtype=jnp.float32)
+        s1 = jnp.sum(e, axis=0)
+        s2 = jnp.dot(e.T, e, preferred_element_type=jnp.float32)
+    else:
+        m = jnp.asarray(mask, dtype=jnp.float32)
+        n = jnp.sum(m)
+        em = e * m[:, None]
+        s1 = jnp.sum(em, axis=0)
+        # e^T diag(m) e == (e*m)^T e for 0/1 masks
+        s2 = jnp.dot(em.T, e, preferred_element_type=jnp.float32)
+    return n, s1, s2
+
+
+class AudioMetricsData:
+    """Streaming mean / covariance (+ optional raw embeddings) per category.
+
+    API mirror of reference data.py:18-113: ``add``, ``__iadd__``, ``__add__``,
+    ``__len__``, ``get_radii``, ``recompute_stats``, ``serialize`` /
+    ``deserialize``.
+    """
+
+    def __init__(self, store_embeddings: bool = True):
+        self.mean: np.ndarray | None = None
+        self.n: int | None = None
+        self.cov: np.ndarray | None = None
+        self.store_embeddings = bool(store_embeddings)
+        self._embedding_chunks: list[np.ndarray] = []
+        self._embeddings_cat: np.ndarray | None = None
+        self.radii: dict[str, np.ndarray] = {}
+        self.dtype = np.float64
+
+    # ------------------------------------------------------------------
+    # accumulation
+    # ------------------------------------------------------------------
+    def add(self, embeddings) -> None:
+        """Accumulate a batch of embeddings (host API, reference data.py:37-47)."""
+        e = ensure_ndarray(embeddings)
+        if e.ndim != 2:
+            raise ValueError(f"embeddings must be 2-D, got shape {e.shape}")
+        n = len(e)
+        if n == 0:
+            return
+        ef = e.astype(np.float64)
+        mean = ef.mean(axis=0)
+        if n == 1:
+            d = e.shape[-1]
+            cov = np.zeros((d, d), dtype=self.dtype)
+        else:
+            centered = ef - mean
+            cov = centered.T @ centered / (n - 1)
+        self._update_stats(mean, cov, n)
+        if self.store_embeddings:
+            self._embedding_chunks.append(np.array(e, dtype=np.float32, copy=True))
+            self._embeddings_cat = None
+
+    def add_moments(self, n, s1, s2, embeddings=None) -> None:
+        """Accumulate device-computed raw moments (see :func:`batch_moments`).
+
+        ``embeddings`` (optional) are the corresponding valid rows, stored when
+        ``store_embeddings`` is set.  This is the fast path used by the
+        embedding pipeline: device returns float32 moments, host merges f64.
+        """
+        n = int(round(float(n)))
+        if n <= 0:
+            return
+        s1 = ensure_ndarray(s1).astype(np.float64)
+        s2 = ensure_ndarray(s2).astype(np.float64)
+        mean = s1 / n
+        if n == 1:
+            cov = np.zeros((s1.shape[0], s1.shape[0]), dtype=self.dtype)
+        else:
+            cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
+        self._update_stats(mean, cov, n)
+        if self.store_embeddings:
+            if embeddings is None:
+                raise ValueError(
+                    "store_embeddings=True but no embeddings passed to add_moments"
+                )
+            e = ensure_ndarray(embeddings)
+            self._embedding_chunks.append(np.array(e, dtype=np.float32, copy=True))
+            self._embeddings_cat = None
+
+    def _update_stats(self, mean: np.ndarray, cov: np.ndarray, n: int) -> None:
+        """Chan merge of (mean, cov, n) pairs (reference data.py:77-94)."""
+        if self.n is None:
+            self.mean = mean.astype(self.dtype)
+            self.cov = cov.astype(self.dtype)
+            self.n = n
+            return
+        n_prod = self.n * n
+        n_total = self.n + n
+        new_mean = (self.n * self.mean + n * mean) / n_total
+        diff = self.mean - mean
+        w_self = (self.n - 1) / (n_total - 1)
+        w_other = (n - 1) / (n_total - 1)
+        w_diff = (n_prod / n_total) / (n_total - 1)
+        self.cov = w_self * self.cov + w_other * cov + w_diff * np.outer(diff, diff)
+        self.mean = new_mean
+        self.n = n_total
+
+    # ------------------------------------------------------------------
+    # embeddings access
+    # ------------------------------------------------------------------
+    @property
+    def embeddings(self) -> np.ndarray | None:
+        if not self._embedding_chunks:
+            return None
+        if self._embeddings_cat is None:
+            if len(self._embedding_chunks) == 1:
+                self._embeddings_cat = self._embedding_chunks[0]
+            else:
+                self._embeddings_cat = np.concatenate(self._embedding_chunks, axis=0)
+                self._embedding_chunks = [self._embeddings_cat]
+        return self._embeddings_cat
+
+    @embeddings.setter
+    def embeddings(self, value) -> None:
+        if value is None:
+            self._embedding_chunks = []
+        else:
+            self._embedding_chunks = [ensure_ndarray(value).astype(np.float32)]
+        self._embeddings_cat = None
+
+    def recompute_stats(self) -> None:
+        """Recompute exact stats from stored embeddings (reference data.py:49-58)."""
+        e = self.embeddings
+        if e is None:
+            return
+        self.n = len(e)
+        ef = e.astype(np.float64)
+        self.mean = ef.mean(axis=0)
+        if self.n == 1:
+            d = e.shape[-1]
+            self.cov = np.zeros((d, d), dtype=self.dtype)
+        else:
+            centered = ef - self.mean
+            self.cov = centered.T @ centered / (self.n - 1)
+
+    def get_radii(self, k_neighbor: int) -> np.ndarray | None:
+        """k-NN radii of the stored embeddings, cached per k (data.py:60-66)."""
+        key = f"radii_{k_neighbor}"
+        radii = self.radii.get(key)
+        if radii is None and self.embeddings is not None:
+            from .metrics.prdc import nearest_neighbour_distances
+
+            radii = ensure_ndarray(
+                nearest_neighbour_distances(self.embeddings, k_neighbor)
+            )
+            self.radii[key] = radii
+        return radii
+
+    # ------------------------------------------------------------------
+    # merge / len
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return self.n or 0
+
+    def __iadd__(self, other: "AudioMetricsData") -> "AudioMetricsData":
+        assert isinstance(other, AudioMetricsData)
+        if other.n is None:
+            return self
+        if self.n is None:
+            self.store_embeddings = other.store_embeddings
+        assert self.store_embeddings == other.store_embeddings
+        self._update_stats(other.mean, other.cov, other.n)
+        if self.store_embeddings and other.embeddings is not None:
+            self._embedding_chunks.append(other.embeddings)
+            self._embeddings_cat = None
+        return self
+
+    def __add__(self, other: "AudioMetricsData") -> "AudioMetricsData":
+        new = AudioMetricsData()
+        new += self
+        new += other
+        return new
+
+    # ------------------------------------------------------------------
+    # serialization (numpy-native; reference uses torch.save, data.py:28-35)
+    # ------------------------------------------------------------------
+    def serialize(self) -> dict:
+        return {
+            "mean": None if self.mean is None else np.asarray(self.mean),
+            "cov": None if self.cov is None else np.asarray(self.cov),
+            "n": self.n,
+            "store_embeddings": self.store_embeddings,
+            "embeddings": self.embeddings,
+            "radii": dict(self.radii),
+        }
+
+    @classmethod
+    def deserialize(cls, state: dict) -> "AudioMetricsData":
+        self = cls(store_embeddings=state.get("store_embeddings", True))
+        self.mean = state.get("mean")
+        self.cov = state.get("cov")
+        n = state.get("n")
+        self.n = None if n is None else int(n)
+        emb = state.get("embeddings")
+        if emb is not None:
+            self._embedding_chunks = [np.asarray(emb, dtype=np.float32)]
+        self.radii = dict(state.get("radii") or {})
+        return self

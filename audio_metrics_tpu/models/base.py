@@ -1,0 +1,29 @@
+"""Embedder protocol.
+
+The reference defines an informal protocol — ``.sr``, ``.get_device()``,
+``.forward(data) -> {"embedding": tensor}`` (clap.py:21-44, vggish.py:14-33,
+tests/test_audio_metrics.py:7-24).  Here the contract is:
+
+- ``sr`` (int): the sample rate the embedder expects.
+- ``forward(data: dict) -> dict``: ``data["audio"]`` is a float32 array of
+  shape (batch, n_samples); the result maps output names to (batch, d)
+  embedding arrays and must contain ``"embedding"``.
+
+``forward`` should be backed by a jitted function so the pipeline's calls
+compile once per batch shape.  There is no ``get_device()`` — device placement
+is the mesh's job, not the model's.
+"""
+
+from __future__ import annotations
+
+__all__ = ["Embedder"]
+
+
+class Embedder:
+    sr: int = 48000
+
+    def forward(self, data: dict) -> dict:
+        raise NotImplementedError
+
+    def __call__(self, data: dict) -> dict:
+        return self.forward(data)

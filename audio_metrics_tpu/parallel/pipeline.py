@@ -1,0 +1,274 @@
+"""The embedding pipeline: host streaming frontend + jitted device stages.
+
+TPU-native counterpart of reference src/audio_metrics/embed.py:93-237.  The
+reference chains generators through thread pools (cpu_parallel) and a
+free-GPU queue (gpu_parallel), because its DSP is per-item CPU code and its
+models are replicated CUDA modules.  Here the design is inverted:
+
+- The host side is a *thin* feeder: ingest, shuffle (APA), window slicing,
+  misaligned-pair construction, and fixed-shape batch assembly with padding
+  masks.  These are O(1)-per-item index operations.
+- Everything per-sample runs on device under jit with static shapes:
+  resampling (polyphase conv), mixing (batched loudness pipeline), the
+  embedder forward, and the statistics reduction (masked raw moments).
+  One compiled program per (bucket-kind, batch-shape); batches are padded to
+  a fixed size so each bucket compiles exactly once.
+- Windows are cut at the *input* rate and resampled on device as a batch
+  (the reference resamples whole songs on 64 CPU threads first,
+  embed.py:161-169 — same result, but dynamic shapes would defeat XLA).
+- Category routing (aligned / misaligned / stem; embed.py:226-236) happens on
+  device via masks, so when raw embeddings are not needed only
+  (n, sum_x, sum_xx^T) moments leave the chip.  The moments are associative,
+  so the same program shards over a mesh with batch-axis sharding.
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+from functools import partial
+from itertools import tee
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import AudioMetricsData, batch_moments, ensure_ndarray
+from ..ops.windowing import multi_audio_slicer, window_length
+from .shuffle import shuffle_stream
+
+__all__ = ["ItemCategory", "embedding_pipeline", "serialize_items", "batch_accumulator"]
+
+
+class ItemCategory(IntEnum):
+    """Window categories (reference embed.py:18-21)."""
+
+    aligned = 1
+    misaligned = 2
+    stem = 3
+
+
+# ----------------------------------------------------------------------
+# host-side stream stages
+# ----------------------------------------------------------------------
+def serialize_items(items1, items2=None, apa_mode=False, stems_mode=False):
+    """Expand windows into categorized items (reference embed.py:44-66).
+
+    Each (paired) window yields up to three items: the aligned pair, the
+    misaligned pair (context of item1 + stem of the shuffled item2), and the
+    mono stem channel.
+    """
+    if items2 is None:
+        item_pairs = ((item, None) for item in items1)
+    else:
+        item_pairs = zip(items1, items2)
+
+    msg = (
+        "When computing APA items should be tensors/arrays of shape "
+        "[n_samples, 2] (pairing context and stem)"
+    )
+    for item1, item2 in item_pairs:
+        item1 = ensure_ndarray(item1)
+        if apa_mode:
+            if item1.ndim != 2:
+                raise ValueError(msg)
+            yield {"audio": item1, "category": ItemCategory.aligned}
+            if item2 is not None:
+                item2 = ensure_ndarray(item2)
+                if item2.ndim != 2:
+                    raise ValueError(msg)
+                misaligned = np.column_stack((item1[:, 0], item2[:, 1]))
+                yield {"audio": misaligned, "category": ItemCategory.misaligned}
+        if stems_mode:
+            stem = item1[:, -1] if item1.ndim == 2 else item1
+            yield {"audio": stem, "category": ItemCategory.stem}
+
+
+def batch_accumulator(items, batch_size=32):
+    """Simple stacking batcher (reference embed.py:24-41); kept for API parity.
+
+    The pipeline itself uses the bucketed, padded batcher below.
+    """
+    audio, category = [], []
+    for item in items:
+        audio.append(item["audio"])
+        category.append(item["category"])
+        if len(audio) == batch_size:
+            yield {"audio": np.stack(audio), "category": np.array(category)}
+            audio, category = [], []
+    if audio:
+        yield {"audio": np.stack(audio), "category": np.array(category)}
+
+
+def _bucketed_batches(items, batch_size):
+    """Group categorized items into homogeneous fixed-size padded batches.
+
+    Two buckets: stereo pairs (aligned/misaligned — need mixing) and mono
+    stems (pass-through).  Homogeneous buckets mean each device program does
+    no wasted work and compiles once.  Yields
+    ``(kind, audio[B, ...], category[B], valid[B])`` with B == batch_size.
+    """
+
+    def flush(kind, audio_list, cat_list):
+        n = len(audio_list)
+        audio = np.stack(audio_list).astype(np.float32, copy=False)
+        if n < batch_size:
+            pad = np.zeros((batch_size - n,) + audio.shape[1:], dtype=np.float32)
+            audio = np.concatenate([audio, pad], axis=0)
+        category = np.zeros(batch_size, dtype=np.int32)
+        category[:n] = cat_list
+        valid = np.zeros(batch_size, dtype=bool)
+        valid[:n] = True
+        return kind, audio, category, valid
+
+    buckets = {"pair": ([], []), "mono": ([], [])}
+    for item in items:
+        kind = "mono" if item["category"] == ItemCategory.stem else "pair"
+        audio_list, cat_list = buckets[kind]
+        audio_list.append(item["audio"])
+        cat_list.append(int(item["category"]))
+        if len(audio_list) == batch_size:
+            yield flush(kind, audio_list, cat_list)
+            buckets[kind] = ([], [])
+    for kind, (audio_list, cat_list) in buckets.items():
+        if audio_list:
+            yield flush(kind, audio_list, cat_list)
+
+
+# ----------------------------------------------------------------------
+# device-side stages
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cats",))
+def _category_moments_jit(emb, cat, val, cats: tuple[int, ...]):
+    out = {}
+    for c in cats:
+        mask = jnp.logical_and(cat == c, val)
+        out[c] = batch_moments(emb, mask)
+    return out
+
+
+def _category_moments(embedding, category, valid, wanted: tuple[int, ...]):
+    """Masked raw moments per category in one jitted program."""
+    return _category_moments_jit(
+        jnp.asarray(embedding), jnp.asarray(category), jnp.asarray(valid), wanted
+    )
+
+
+def _device_mix(mix_function, audio, sr):
+    """Apply a mix function to a (B, n, 2) batch.
+
+    Registry mix functions are batched jax programs (``is_batched_mix``);
+    arbitrary user callables follow the reference protocol
+    ``f(audio[n, 2], sr) -> mono[n]`` (mix_functions.py:335-344) and are
+    applied per item on host.
+    """
+    if getattr(mix_function, "is_batched_mix", False):
+        return np.asarray(mix_function(audio, sr=sr))
+    out = [ensure_ndarray(mix_function(a, sr=sr)) for a in audio]
+    return np.stack(out).astype(np.float32, copy=False)
+
+
+def _device_resample(audio, sr_orig, sr_new):
+    from ..ops.resample import resample_batch
+
+    return resample_batch(audio, sr_orig, sr_new)
+
+
+# ----------------------------------------------------------------------
+# the pipeline
+# ----------------------------------------------------------------------
+def embedding_pipeline(
+    waveforms,
+    embedder,
+    mix_function,
+    apa_mode=None,  # "reference" | "candidate" | None
+    stems_mode: bool = False,
+    store_mix_embeddings: bool = False,
+    store_stem_embeddings: bool = False,
+    batch_size: int = 32,
+    win_dur: float = 5.0,
+    song_buffer_size: int = 100,
+    win_buffer_size: int = 1000,
+    win_min_age: int = 100,
+    seed: int | None = None,
+    input_sr: int | None = None,
+    mesh=None,
+) -> dict:
+    """Embed a stream of waveforms and accumulate per-category statistics.
+
+    Input formats match reference embed.py:110-147: an iterable (or stacked
+    array) of items, each ``(n_samples,)`` mono stems or ``(n_samples, 2)``
+    context+stem pairs.  Returns ``{ItemCategory: AudioMetricsData}``.
+    """
+    in_sr = input_sr if input_sr is not None else embedder.sr
+    need_resample = input_sr is not None and input_sr != embedder.sr
+
+    items = iter(waveforms)
+
+    if apa_mode == "reference":
+        # song-level shuffle so misaligned pairs cross song boundaries
+        items = (ensure_ndarray(x) for x in items)
+        items = shuffle_stream(items, buffer_size=song_buffer_size, seed=seed)
+
+    # window at the input rate; resampling happens on device per batch
+    windows = multi_audio_slicer(items, win_dur, sr=in_sr)
+
+    if apa_mode == "reference":
+        windows, shuffled = tee(windows)
+        shuffled = shuffle_stream(
+            shuffled,
+            buffer_size=win_buffer_size,
+            min_age=win_min_age,
+            seed=seed,
+        )
+    else:
+        shuffled = None
+
+    categorized = serialize_items(windows, shuffled, apa_mode, stems_mode)
+
+    # result accumulators (reference embed.py:218-224)
+    metrics_data: dict[ItemCategory, AudioMetricsData] = {}
+    if apa_mode is not None:
+        metrics_data[ItemCategory.aligned] = AudioMetricsData(store_mix_embeddings)
+    if apa_mode == "reference":
+        metrics_data[ItemCategory.misaligned] = AudioMetricsData(store_mix_embeddings)
+    if stems_mode:
+        metrics_data[ItemCategory.stem] = AudioMetricsData(store_stem_embeddings)
+
+    store_flags = {
+        ItemCategory.aligned: store_mix_embeddings,
+        ItemCategory.misaligned: store_mix_embeddings,
+        ItemCategory.stem: store_stem_embeddings,
+    }
+
+    for kind, audio, category, valid in _bucketed_batches(categorized, batch_size):
+        if need_resample:
+            audio = _device_resample(audio, input_sr, embedder.sr)
+        if kind == "pair":
+            mono = _device_mix(mix_function, audio, sr=embedder.sr)
+            wanted = tuple(
+                int(c)
+                for c in (ItemCategory.aligned, ItemCategory.misaligned)
+                if ItemCategory(c) in metrics_data
+            )
+        else:
+            mono = audio
+            wanted = (int(ItemCategory.stem),)
+
+        out = embedder.forward({"audio": mono})
+        embedding = out["embedding"]
+
+        moments = _category_moments(embedding, category, valid, wanted)
+
+        emb_host = None
+        for c in wanted:
+            cat = ItemCategory(c)
+            n, s1, s2 = moments[c]
+            if store_flags[cat]:
+                if emb_host is None:
+                    emb_host = ensure_ndarray(embedding)
+                rows = emb_host[(category == c) & valid]
+                metrics_data[cat].add_moments(n, s1, s2, embeddings=rows)
+            else:
+                metrics_data[cat].add_moments(n, s1, s2)
+
+    return metrics_data

@@ -1,0 +1,185 @@
+"""API-level integration tests.
+
+Model of reference tests/test_audio_metrics.py: the full
+add_reference/evaluate flow over the input-format matrix with a deterministic
+DummyEmbedder, plus the stem-with-APA error case and serialization
+round-trip.  Runs fully on the CPU backend (the reference suite requires a
+CUDA device even with its dummy embedder — fixed here by design).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from audio_metrics_tpu import AudioMetrics
+from audio_metrics_tpu.models import DummyEmbedder
+
+
+def mix_func(audio, sr=None):
+    # reference-style per-item callable: (n_samples, 2) -> (n_samples,)
+    return audio.mean(axis=1)
+
+
+@pytest.fixture
+def am():
+    return AudioMetrics(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        metrics=["fad", "apa"],
+        n_pca=10,
+    )
+
+
+@pytest.fixture
+def am_no_apa():
+    return AudioMetrics(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        metrics=["fad"],
+        n_pca=10,
+    )
+
+
+SR = 16000
+N_SECONDS = 5
+
+
+def test_inputs_stacked_ndarray(am):
+    rng = np.random.default_rng(0)
+    reference = rng.random((20, N_SECONDS * SR, 2))
+    candidate = rng.random((20, N_SECONDS * SR, 2))
+    am.reset_reference()
+    am.add_reference(reference)
+    result = am.evaluate(candidate)
+    assert set(result) == {"fad", "apa"}
+    assert np.isfinite(result["fad"])
+    assert 0.0 <= result["apa"] <= 1.0
+
+
+def test_inputs_generator_and_list(am):
+    rng = np.random.default_rng(1)
+    reference = (rng.random((N_SECONDS * SR, 2)) for _ in range(20))
+    candidate = [rng.random((N_SECONDS * SR, 2)) for _ in range(20)]
+    am.reset_reference()
+    am.add_reference(reference)
+    result = am.evaluate(candidate)
+    assert np.isfinite(result["fad"])
+
+
+def test_inputs_torch_tensor(am):
+    reference = torch.randn((20, N_SECONDS * SR, 2))
+    candidate = torch.randn((20, N_SECONDS * SR, 2))
+    am.reset_reference()
+    am.add_reference(reference)
+    result = am.evaluate(candidate)
+    assert np.isfinite(result["fad"])
+
+
+def test_inputs_stems_only(am_no_apa):
+    rng = np.random.default_rng(2)
+    reference = rng.random((20, N_SECONDS * SR))
+    candidate = rng.random((20, N_SECONDS * SR))
+    am_no_apa.reset_reference()
+    am_no_apa.add_reference(reference)
+    result = am_no_apa.evaluate(candidate)
+    assert set(result) == {"fad"}
+
+
+def test_stems_with_apa_raises(am):
+    rng = np.random.default_rng(3)
+    reference = rng.random((20, N_SECONDS * SR))
+    am.reset_reference()
+    with pytest.raises(ValueError):
+        am.add_reference(reference)
+
+
+def test_all_metrics():
+    am = AudioMetrics(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        metrics=["fad", "kd", "prdc", "apa"],
+        n_pca=None,
+    )
+    rng = np.random.default_rng(4)
+    reference = rng.random((30, N_SECONDS * SR, 2))
+    candidate = rng.random((30, N_SECONDS * SR, 2))
+    am.add_reference(reference)
+    result = am.evaluate(candidate)
+    expected = {
+        "fad",
+        "kernel_distance_mean",
+        "kernel_distance_std",
+        "precision",
+        "recall",
+        "density",
+        "coverage",
+        "apa",
+    }
+    assert set(result) == expected
+    for v in result.values():
+        assert np.isfinite(v)
+
+
+def test_evaluate_without_reference_raises(am):
+    rng = np.random.default_rng(5)
+    with pytest.raises(ValueError):
+        am.evaluate(rng.random((5, N_SECONDS * SR, 2)))
+
+
+def test_short_audio_yields_empty_reference(am_no_apa):
+    # audio shorter than win_dur produces no windows -> empty reference
+    rng = np.random.default_rng(6)
+    am_no_apa.add_reference(rng.random((3, SR)))  # 1 s < 5 s
+    with pytest.raises(ValueError):
+        am_no_apa.evaluate(rng.random((3, N_SECONDS * SR)))
+
+
+def test_incremental_reference(am_no_apa):
+    rng = np.random.default_rng(7)
+    c1 = rng.random((10, N_SECONDS * SR))
+    c2 = rng.random((10, N_SECONDS * SR))
+    cand = rng.random((10, N_SECONDS * SR))
+
+    am_no_apa.add_reference(c1)
+    am_no_apa.add_reference(c2)
+    r_incr = am_no_apa.evaluate(cand)
+
+    am2 = AudioMetrics(
+        embedder=DummyEmbedder(), mix_function=mix_func, metrics=["fad"], n_pca=10
+    )
+    am2.add_reference(np.concatenate([c1, c2]))
+    r_single = am2.evaluate(cand)
+    np.testing.assert_allclose(r_incr["fad"], r_single["fad"], rtol=1e-5, atol=1e-7)
+
+
+def test_serialization(tmp_path):
+    kwargs = dict(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        metrics=["fad", "apa"],
+        n_pca=10,
+    )
+    am = AudioMetrics(**kwargs)
+    rng = np.random.default_rng(8)
+    reference = (rng.random((N_SECONDS * SR, 2)) for _ in range(20))
+    candidate = [rng.random((N_SECONDS * SR, 2)) for _ in range(20)]
+    am.add_reference(reference)
+    result1 = am.evaluate(candidate)
+
+    fp = tmp_path / "state.npz"
+    am.save_state(fp)
+
+    am = AudioMetrics(**kwargs)
+    am.load_state(fp)
+    result2 = am.evaluate(candidate)
+
+    assert len(result1) == len(result2)
+    for k, v1 in result1.items():
+        assert v1 == pytest.approx(result2[k], rel=1e-6, abs=1e-6)
+
+
+def test_unknown_registry_names():
+    with pytest.raises(ValueError):
+        AudioMetrics(embedder="nope", mix_function=mix_func)
+    with pytest.raises(ValueError):
+        AudioMetrics(embedder=DummyEmbedder(), mix_function="nope")

@@ -1,0 +1,133 @@
+"""Streaming-stats tests (model of reference tests/test_data.py, extended)."""
+
+import numpy as np
+import pytest
+
+from audio_metrics_tpu.data import AudioMetricsData, batch_moments
+
+
+def _ref_stats(x):
+    mean = x.astype(np.float64).mean(axis=0)
+    c = x.astype(np.float64) - mean
+    cov = c.T @ c / (len(x) - 1)
+    return mean, cov
+
+
+def test_incremental_stats():
+    # incremental adds must equal single-shot stats (reference test_data.py:6-31)
+    rng = np.random.default_rng(0)
+    n_dim = 8
+    x1 = rng.normal(size=(1, n_dim)).astype(np.float32)
+    x2 = rng.normal(size=(100, n_dim)).astype(np.float32)
+    x3 = rng.normal(size=(1000, n_dim)).astype(np.float32)
+    x123 = np.concatenate((x1, x2, x3))
+
+    amd = AudioMetricsData(store_embeddings=False)
+    amd.add(x1)
+    amd.add(x2)
+    amd.add(x3)
+
+    amd_single = AudioMetricsData(store_embeddings=False)
+    amd_single.add(x123)
+
+    np.testing.assert_allclose(amd.mean, amd_single.mean, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(amd.cov, amd_single.cov, rtol=1e-6, atol=1e-6)
+
+    mean, cov = _ref_stats(x123)
+    np.testing.assert_allclose(amd.mean, mean, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(amd.cov, cov, rtol=1e-6, atol=1e-6)
+
+
+def test_batch_moments_masked():
+    rng = np.random.default_rng(1)
+    e = rng.normal(size=(64, 16)).astype(np.float32)
+    mask = rng.random(64) < 0.5
+    n, s1, s2 = batch_moments(e, mask)
+    sel = e[mask].astype(np.float64)
+    assert int(n) == mask.sum()
+    np.testing.assert_allclose(np.asarray(s1), sel.sum(axis=0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), sel.T @ sel, rtol=1e-4)
+
+
+def test_add_moments_matches_add():
+    rng = np.random.default_rng(2)
+    e1 = rng.normal(size=(50, 12)).astype(np.float32)
+    e2 = rng.normal(size=(70, 12)).astype(np.float32)
+
+    a = AudioMetricsData(store_embeddings=True)
+    a.add(e1)
+    a.add(e2)
+
+    b = AudioMetricsData(store_embeddings=True)
+    for e in (e1, e2):
+        n, s1, s2 = batch_moments(e)
+        b.add_moments(n, s1, s2, embeddings=e)
+
+    np.testing.assert_allclose(a.mean, b.mean, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a.cov, b.cov, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(a.embeddings, b.embeddings)
+
+
+def test_merge_iadd():
+    rng = np.random.default_rng(3)
+    e1 = rng.normal(size=(30, 6)).astype(np.float32)
+    e2 = rng.normal(size=(40, 6)).astype(np.float32)
+
+    a = AudioMetricsData(True)
+    a.add(e1)
+    b = AudioMetricsData(True)
+    b.add(e2)
+    a += b
+
+    c = AudioMetricsData(True)
+    c.add(np.concatenate([e1, e2]))
+    np.testing.assert_allclose(a.mean, c.mean, rtol=1e-6)
+    np.testing.assert_allclose(a.cov, c.cov, rtol=1e-6)
+    assert len(a) == 70
+    np.testing.assert_array_equal(a.embeddings, c.embeddings)
+
+    # merging an empty other is a no-op
+    a += AudioMetricsData(True)
+    assert len(a) == 70
+
+
+def test_single_sample_cov_is_zero():
+    amd = AudioMetricsData(False)
+    amd.add(np.ones((1, 5), np.float32))
+    assert amd.cov.shape == (5, 5)
+    assert np.all(amd.cov == 0)
+
+
+def test_serialize_roundtrip():
+    rng = np.random.default_rng(4)
+    e = rng.normal(size=(20, 4)).astype(np.float32)
+    a = AudioMetricsData(True)
+    a.add(e)
+    a.get_radii(3)
+    state = a.serialize()
+    b = AudioMetricsData.deserialize(state)
+    np.testing.assert_allclose(a.mean, b.mean)
+    np.testing.assert_allclose(a.cov, b.cov)
+    assert a.n == b.n
+    np.testing.assert_array_equal(a.embeddings, b.embeddings)
+    assert set(a.radii) == set(b.radii)
+
+
+def test_recompute_stats():
+    rng = np.random.default_rng(5)
+    e = rng.normal(size=(33, 7)).astype(np.float32)
+    a = AudioMetricsData(True)
+    for chunk in np.array_split(e, 5):
+        a.add(chunk)
+    a.recompute_stats()
+    mean, cov = _ref_stats(e)
+    np.testing.assert_allclose(a.mean, mean, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(a.cov, cov, rtol=1e-6, atol=1e-7)
+
+
+def test_add_empty_is_noop():
+    a = AudioMetricsData(False)
+    a.add(np.zeros((0, 3), np.float32))
+    assert a.n is None
+    with pytest.raises(ValueError):
+        a.add(np.zeros(3, np.float32))
