@@ -1,0 +1,269 @@
+"""LAION-CLAP audio embedder (HTSAT-base tower) in JAX.
+
+Counterpart of reference embedders/clap.py:10-67, which wraps
+``laion_clap.CLAP_Module(enable_fusion=False, amodel="HTSAT-base")`` and taps
+intermediate projection layers via forward hooks.  Here the forward is an
+explicit multi-output jitted program — no hooks, no per-call hook
+registration thread-safety worries (reference clap.py:32-34):
+
+    audio (B, n) @48 kHz
+      -> repeat-pad / crop to 10 s (laion "repeatpad" / "rand_trunc")
+      -> log-mel (1024 fft / 480 hop / 64 slaney mels, dB)   [matmul-DFT]
+      -> HTSAT-base swin encoder -> latent (B, 1024)
+      -> audio_projection: linear1 -> relu -> linear2 -> l2-normalize
+
+Output selection matches the reference layer taps (clap.py:7):
+  layer=None               -> normalized 512-d embedding (default)
+  layer="audio_projection.0" -> linear1 output (pre-ReLU), 512-d
+  layer="audio_projection.2" -> linear2 output (pre-normalize), 512-d
+
+Checkpoints: ``convert_checkpoint`` accepts HF Clap state dicts or original
+LAION ``.pt`` checkpoints (fused-qkv splitting + key renaming).  The same
+cached-download mechanism as the reference (utils/get_url.py) resolves the
+two published checkpoint URLs when network is available; otherwise seeded
+random weights are used (benchmark-valid FLOPs, not metric-valid values).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.mel import log_mel_spectrogram
+from .base import Embedder
+from .htsat import HTSAT_BASE, HTSAT_TINY, HTSATConfig, htsat_encode, init_params
+
+__all__ = [
+    "LaionCLAP",
+    "CLAP",
+    "LAION_CLAP_MUSIC_CHECKPOINT_URL",
+    "LAION_CLAP_MUSIC_SPEECH_CHECKPOINT_URL",
+    "LAION_CLAP_LAYERS",
+    "convert_checkpoint",
+]
+
+logger = logging.getLogger(__name__)
+
+LAION_CLAP_MUSIC_SPEECH_CHECKPOINT_URL = "https://huggingface.co/lukewys/laion_clap/resolve/main/music_speech_audioset_epoch_15_esc_89.98.pt"
+LAION_CLAP_MUSIC_CHECKPOINT_URL = "https://huggingface.co/lukewys/laion_clap/resolve/main/music_audioset_epoch_15_esc_90.14.pt"
+LAION_CLAP_LAYERS = ["audio_projection.0", "audio_projection.2"]
+
+SAMPLE_RATE = 48000
+MAX_SAMPLES = 10 * SAMPLE_RATE  # 480000
+_N_FFT = 1024
+_HOP = 480
+_N_MELS = 64
+_FMIN, _FMAX = 50, 14000
+PROJECTION_DIM = 512
+
+
+def clap_mel(audio):
+    """(B, n) @48k -> (B, n//480 + 1, 64) log-mel, laion non-fusion convention."""
+    return log_mel_spectrogram(
+        audio,
+        sampling_rate=SAMPLE_RATE,
+        frame_length=_N_FFT,
+        hop_length=_HOP,
+        n_fft=_N_FFT,
+        n_mels=_N_MELS,
+        fmin=_FMIN,
+        fmax=_FMAX,
+        center=True,
+        power=2.0,
+        mel_norm="slaney",
+        mel_scale="slaney",
+        log_mode="db",
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _clap_forward(params: dict, audio, cfg: HTSATConfig):
+    """audio (B, MAX_SAMPLES) -> dict of all tap outputs (B, 512)."""
+    mel = clap_mel(audio)
+    latent = htsat_encode(params, mel, cfg)
+    l1 = (
+        jnp.dot(
+            latent,
+            params["audio_projection.linear1.weight"].T,
+            preferred_element_type=jnp.float32,
+        )
+        + params["audio_projection.linear1.bias"]
+    )
+    l2 = (
+        jnp.dot(
+            jax.nn.relu(l1),
+            params["audio_projection.linear2.weight"].T,
+            preferred_element_type=jnp.float32,
+        )
+        + params["audio_projection.linear2.bias"]
+    )
+    normalized = l2 / jnp.linalg.norm(l2, axis=-1, keepdims=True)
+    return {
+        "embedding": normalized,
+        "audio_projection.0": l1,
+        "audio_projection.2": l2,
+    }
+
+
+def _repeatpad_np(audio: np.ndarray, max_len: int, rng) -> np.ndarray:
+    """laion get_audio_features data handling, batched on host:
+    shorter -> tile whole copies then zero-pad; longer -> random crop."""
+    b, n = audio.shape
+    if n == max_len:
+        return audio
+    if n < max_len:
+        n_repeat = max_len // n
+        tiled = np.tile(audio, (1, n_repeat))
+        pad = max_len - tiled.shape[1]
+        if pad:
+            tiled = np.pad(tiled, ((0, 0), (0, pad)))
+        return tiled
+    # rand_trunc
+    out = np.empty((b, max_len), dtype=audio.dtype)
+    for i in range(b):
+        start = rng.integers(0, n - max_len + 1)
+        out[i] = audio[i, start : start + max_len]
+    return out
+
+
+class LaionCLAP(Embedder):
+    """HTSAT-base CLAP audio embedder; 512-d outputs at three tap points."""
+
+    names = ("embedding", "audio_projection.0", "audio_projection.2")
+
+    def __init__(
+        self,
+        ckpt: str | None = None,
+        layer: str | None = None,
+        params: dict | None = None,
+        cfg: HTSATConfig = HTSAT_BASE,
+        seed: int = 0,
+    ):
+        self.layer = layer
+        self.cfg = cfg
+        self._rng = np.random.default_rng(seed)
+        if params is None and ckpt is not None:
+            params = _load_params(ckpt)
+        if params is None:
+            logger.warning(
+                "LaionCLAP: no checkpoint available; using seeded random "
+                "weights (benchmark-valid FLOPs, not metric-valid values)"
+            )
+            params = init_params(cfg, seed=seed)
+            params.update(init_projection_params(cfg, seed=seed))
+        self.params = jax.tree.map(jnp.asarray, params)
+
+    @property
+    def sr(self) -> int:
+        return SAMPLE_RATE
+
+    def forward(self, data: dict) -> dict:
+        audio = np.asarray(data["audio"], dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        audio = _repeatpad_np(audio, MAX_SAMPLES, self._rng)
+        out = _clap_forward(self.params, jnp.asarray(audio), self.cfg)
+        if self.layer:
+            return {"embedding": out[self.layer]}
+        return {"embedding": out["embedding"]}
+
+
+CLAP = LaionCLAP
+
+
+def init_projection_params(cfg: HTSATConfig = HTSAT_BASE, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed + 1)
+    d = cfg.num_features
+    return {
+        "audio_projection.linear1.weight": rng.normal(
+            scale=0.02, size=(PROJECTION_DIM, d)
+        ).astype(np.float32),
+        "audio_projection.linear1.bias": np.zeros(PROJECTION_DIM, np.float32),
+        "audio_projection.linear2.weight": rng.normal(
+            scale=0.02, size=(PROJECTION_DIM, PROJECTION_DIM)
+        ).astype(np.float32),
+        "audio_projection.linear2.bias": np.zeros(PROJECTION_DIM, np.float32),
+    }
+
+
+# ----------------------------------------------------------------------
+# checkpoint conversion
+# ----------------------------------------------------------------------
+# LAION state-dict fragment renames (structural facts of the two formats)
+_LAION_RENAMES = [
+    ("audio_branch.", "audio_encoder."),
+    ("bn0.", "batch_norm."),
+    ("attn.qkv.", "attention.qkv."),  # split later
+    ("attn.proj.", "attention.output.dense."),
+    ("attn.relative_position_bias_table", "attention.self.relative_position_bias_table"),
+    ("mlp.fc1.", "intermediate.dense."),
+    ("mlp.fc2.", "output.dense."),
+    ("norm1.", "layernorm_before."),
+    ("norm2.", "layernorm_after."),
+    ("audio_projection.0.", "audio_projection.linear1."),
+    ("audio_projection.2.", "audio_projection.linear2."),
+]
+
+_KEEP_PREFIXES = ("audio_encoder.", "audio_projection.")
+
+
+def convert_checkpoint(state_dict: dict) -> dict:
+    """Convert a CLAP checkpoint (LAION .pt or HF) to our param dict.
+
+    Handles: 'module.' / 'model.' / 'audio_model.' prefixes, LAION->HF key
+    renames, fused qkv splitting.  Text-tower and classifier-head weights are
+    dropped (this framework embeds audio only, like the reference's use of
+    the model).
+    """
+    flat = {}
+    for key, val in state_dict.items():
+        arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
+        for prefix in ("module.", "model.", "audio_model."):
+            if key.startswith(prefix):
+                key = key[len(prefix) :]
+        for old, new in _LAION_RENAMES:
+            key = key.replace(old, new)
+        flat[key] = arr.astype(np.float32)
+
+    params = {}
+    for key, arr in flat.items():
+        if not key.startswith(_KEEP_PREFIXES):
+            continue
+        if ".attention.qkv." in key:
+            # fused qkv -> query / key / value thirds
+            d = arr.shape[0] // 3
+            for name, chunk in zip(
+                ("query", "key", "value"), (arr[:d], arr[d : 2 * d], arr[2 * d :])
+            ):
+                params[key.replace(".attention.qkv.", f".attention.self.{name}.")] = (
+                    chunk
+                )
+        elif ".attention.self.query." in key or ".attention.self.key." in key or (
+            ".attention.self.value." in key
+        ):
+            params[key] = arr
+        else:
+            params[key] = arr
+    return params
+
+
+def _load_params(ckpt: str) -> dict | None:
+    """Resolve a checkpoint URL/path via the download cache and convert it."""
+    from ..utils.get_url import download_url
+    from pathlib import Path
+
+    try:
+        path = ckpt if Path(ckpt).exists() else download_url(ckpt)
+    except Exception as exc:  # no network in air-gapped deployments
+        logger.warning("CLAP checkpoint unavailable (%s)", exc)
+        return None
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return convert_checkpoint(state)

@@ -1,0 +1,405 @@
+"""HTSAT (Hierarchical Token-Semantic Audio Transformer) encoder in JAX.
+
+The audio tower of LAION-CLAP (reference embedders/clap.py wraps
+``laion_clap.CLAP_Module(amodel="HTSAT-base")``).  This is a from-scratch JAX
+implementation of the architecture — a Swin transformer over a 256 x 256
+"token-semantic" reshaping of the log-mel spectrogram — written against the
+published model structure (also mirrored by ``transformers``'
+``ClapAudioEncoder``, which serves as the numerical oracle in
+tests/test_htsat.py).
+
+Parameter naming follows the HF Clap state dict
+(``audio_encoder.layers.{i}.blocks.{j}.attention.self.query.weight`` etc.),
+so converted checkpoints plug in directly; see models/clap.py for the
+LAION-format key mapping.
+
+TPU notes: all shapes are static (windows 8x8, resolutions 64/32/16/8), the
+window partition/reverse are pure reshapes/transposes, attention runs as
+batched MXU matmuls over (num_windows*B, 64, C) tokens, and the bicubic
+time interpolation of reshape_mel2img is folded into a precomputed matmul.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["HTSATConfig", "htsat_encode", "init_params", "HTSAT_BASE", "HTSAT_TINY"]
+
+
+@dataclass(frozen=True)
+class HTSATConfig:
+    spec_size: int = 256
+    patch_size: int = 4
+    patch_stride: int = 4
+    num_mel_bins: int = 64
+    embed_dim: int = 128  # patch_embeds_hidden_size
+    depths: tuple = (2, 2, 12, 2)
+    num_heads: tuple = (4, 8, 16, 32)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def freq_ratio(self) -> int:
+        return self.spec_size // self.num_mel_bins
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+    @property
+    def grid_size(self) -> int:
+        return self.spec_size // self.patch_stride
+
+
+# the reference's HTSAT-base (laion_clap amodel="HTSAT-base")
+HTSAT_BASE = HTSATConfig(embed_dim=128, depths=(2, 2, 12, 2))
+# HF transformers' default ClapAudioConfig (laion/clap-htsat-unfused)
+HTSAT_TINY = HTSATConfig(embed_dim=96, depths=(2, 2, 6, 2))
+
+
+# ----------------------------------------------------------------------
+# static tables (host, cached)
+# ----------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def _relative_position_index(window: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)  # (window^2, window^2)
+
+
+@lru_cache(maxsize=None)
+def _shift_attn_mask(height: int, width: int, window: int, shift: int) -> np.ndarray:
+    """Attention mask for shifted-window attention: (n_windows, w^2, w^2)."""
+    img = np.zeros((height, width))
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    count = 0
+    for hs in slices:
+        for ws in slices:
+            img[hs, ws] = count
+            count += 1
+    win = img.reshape(height // window, window, width // window, window)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) 1-D bicubic interpolation matrix, align_corners=True,
+    border-replicated taps (torch F.interpolate semantics), a = -0.75."""
+    a = -0.75
+
+    def kernel(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1,
+            (a + 2) * x**3 - (a + 3) * x**2 + 1,
+            np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+        )
+
+    w = np.zeros((n_out, n_in))
+    if n_out == 1:
+        src = np.zeros(1)
+    else:
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.floor(src).astype(int)
+    frac = src - i0
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(i0 + tap, 0, n_in - 1)
+        wt = kernel(frac - tap)
+        np.add.at(w, (np.arange(n_out), idx), wt)
+    return w.astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# building blocks
+# ----------------------------------------------------------------------
+def _layer_norm(x, w, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _linear(x, params, prefix):
+    w = params[f"{prefix}.weight"]
+    out = jnp.dot(x, w.T, preferred_element_type=jnp.float32)
+    b = params.get(f"{prefix}.bias")
+    return out if b is None else out + b
+
+
+def _window_partition(x, window: int):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, c)
+
+
+def _window_reverse(wins, window: int, h: int, w: int):
+    c = wins.shape[-1]
+    x = wins.reshape(-1, h // window, w // window, window, window, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, h, w, c)
+
+
+def _window_attention(x, params, prefix, num_heads: int, window: int, attn_mask):
+    """x: (B*nW, w^2, C); attn_mask: (nW, w^2, w^2) or None."""
+    bn, n, c = x.shape
+    head = c // num_heads
+
+    def qkv(name):
+        y = _linear(x, params, f"{prefix}.self.{name}")
+        return y.reshape(bn, n, num_heads, head).transpose(0, 2, 1, 3)
+
+    q, k, v = qkv("query"), qkv("key"), qkv("value")
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(head)
+
+    table = params[f"{prefix}.self.relative_position_bias_table"]
+    idx = _relative_position_index(window).reshape(-1)
+    bias = table[idx].reshape(n, n, num_heads).transpose(2, 0, 1)
+    scores = scores + bias[None]
+
+    if attn_mask is not None:
+        n_windows = attn_mask.shape[0]
+        scores = scores.reshape(bn // n_windows, n_windows, num_heads, n, n)
+        scores = scores + jnp.asarray(attn_mask)[None, :, None]
+        scores = scores.reshape(bn, num_heads, n, n)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(bn, n, c)
+    return _linear(ctx, params, f"{prefix}.output.dense")
+
+
+def _swin_block(
+    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int, num_heads: int
+):
+    """x: (B, H*W, C) -> same.  Static resolution/shift/heads."""
+    window = cfg.window_size
+    if resolution <= window:
+        window = resolution
+        shift = 0
+    h = w = resolution
+    b, _, c = x.shape
+    num_heads_prefix = f"{prefix}.attention"
+
+    shortcut = x
+    x = _layer_norm(
+        x,
+        params[f"{prefix}.layernorm_before.weight"],
+        params[f"{prefix}.layernorm_before.bias"],
+        cfg.layer_norm_eps,
+    )
+    x = x.reshape(b, h, w, c)
+    if shift > 0:
+        x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+        attn_mask = _shift_attn_mask(h, w, window, shift)
+    else:
+        attn_mask = None
+
+    wins = _window_partition(x, window)
+    wins = _window_attention(wins, params, num_heads_prefix, num_heads, window, attn_mask)
+    x = _window_reverse(wins, window, h, w)
+    if shift > 0:
+        x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+    x = x.reshape(b, h * w, c)
+    x = shortcut + x
+
+    y = _layer_norm(
+        x,
+        params[f"{prefix}.layernorm_after.weight"],
+        params[f"{prefix}.layernorm_after.bias"],
+        cfg.layer_norm_eps,
+    )
+    y = _linear(y, params, f"{prefix}.intermediate.dense")
+    y = jax.nn.gelu(y, approximate=False)
+    y = _linear(y, params, f"{prefix}.output.dense")
+    return x + y
+
+
+def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
+    h = w = resolution
+    b, _, c = x.shape
+    x = x.reshape(b, h, w, c)
+    x = jnp.concatenate(
+        [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+        axis=-1,
+    )
+    x = x.reshape(b, -1, 4 * c)
+    x = _layer_norm(
+        x,
+        params[f"{prefix}.norm.weight"],
+        params[f"{prefix}.norm.bias"],
+        cfg.layer_norm_eps,
+    )
+    return _linear(x, params, f"{prefix}.reduction")
+
+
+# ----------------------------------------------------------------------
+# the encoder
+# ----------------------------------------------------------------------
+def reshape_mel2img(mel, cfg: HTSATConfig):
+    """(B, T, n_mels) log-mel -> (B, 1, spec, spec) image.
+
+    Time is bicubic-interpolated (align_corners) up to spec_size*freq_ratio
+    and folded as freq_ratio vertical chunks (HTSAT token-semantic layout).
+    """
+    b, t, f = mel.shape
+    spec_width = cfg.spec_size * cfg.freq_ratio  # target time length
+    spec_height = cfg.spec_size // cfg.freq_ratio  # per-chunk freq length
+    if t > spec_width or f > spec_height:
+        raise ValueError("mel larger than the swin input size")
+    x = mel
+    if t < spec_width:
+        w = jnp.asarray(_bicubic_matrix(t, spec_width))
+        x = jnp.einsum("ot,btf->bof", w, x, preferred_element_type=jnp.float32)
+    if f < spec_height:
+        w = jnp.asarray(_bicubic_matrix(f, spec_height))
+        x = jnp.einsum("of,btf->bto", w, x, preferred_element_type=jnp.float32)
+    # (B, 1, T, F) -> (B, freq_ratio, T/freq_ratio, F) -> (B, 1, F*ratio, T/ratio)
+    x = x.reshape(b, cfg.freq_ratio, spec_width // cfg.freq_ratio, spec_height)
+    x = x.transpose(0, 1, 3, 2)
+    x = x.reshape(b, 1, spec_height * cfg.freq_ratio, spec_width // cfg.freq_ratio)
+    return x
+
+
+def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE):
+    """mel: (B, T, n_mels) log-mel -> pooled latent (B, num_features).
+
+    Mirrors ClapAudioEncoder.forward: batch-norm over mel bins,
+    reshape_mel2img, patch embed, 4 swin stages with patch merging, final
+    layer norm, token-semantic regrouping, average pool.
+    """
+    mel = jnp.asarray(mel, dtype=jnp.float32)
+    # BatchNorm2d over the mel-bin axis, eval mode (running stats)
+    mean = params["audio_encoder.batch_norm.running_mean"]
+    var = params["audio_encoder.batch_norm.running_var"]
+    gamma = params["audio_encoder.batch_norm.weight"]
+    beta = params["audio_encoder.batch_norm.bias"]
+    mel = (mel - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+
+    x = reshape_mel2img(mel, cfg)  # (B, 1, spec, spec)
+
+    # patch embed: conv k=4 s=4 + flatten + LN
+    w = params["audio_encoder.patch_embed.proj.weight"]
+    b = params["audio_encoder.patch_embed.proj.bias"]
+    x = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(cfg.patch_stride, cfg.patch_stride),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    ) + b[None, :, None, None]
+    bsz, c, gh, gw = x.shape
+    x = x.reshape(bsz, c, gh * gw).transpose(0, 2, 1)  # (B, N, C)
+    x = _layer_norm(
+        x,
+        params["audio_encoder.patch_embed.norm.weight"],
+        params["audio_encoder.patch_embed.norm.bias"],
+        cfg.layer_norm_eps,
+    )
+
+    resolution = cfg.grid_size
+    n_stages = len(cfg.depths)
+    for i in range(n_stages):
+        for j in range(cfg.depths[i]):
+            shift = 0 if j % 2 == 0 else cfg.window_size // 2
+            x = _swin_block(
+                x,
+                params,
+                f"audio_encoder.layers.{i}.blocks.{j}",
+                cfg,
+                resolution,
+                shift,
+                cfg.num_heads[i],
+            )
+        if i < n_stages - 1:
+            x = _patch_merging(
+                x, params, f"audio_encoder.layers.{i}.downsample", cfg, resolution
+            )
+            resolution //= 2
+
+    x = _layer_norm(
+        x,
+        params["audio_encoder.norm.weight"],
+        params["audio_encoder.norm.bias"],
+        cfg.layer_norm_eps,
+    )
+
+    # token-semantic regroup + average pool (ClapAudioEncoder tail)
+    bsz, n, c = x.shape
+    freq_shape = temporal_shape = resolution  # spec // 8 // 4
+    x = x.transpose(0, 2, 1).reshape(bsz, c, freq_shape, temporal_shape)
+    c_freq_bin = freq_shape // cfg.freq_ratio
+    x = x.reshape(bsz, c, freq_shape // c_freq_bin, c_freq_bin, temporal_shape)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(bsz, c, c_freq_bin, -1)
+    latent = x.reshape(bsz, c, -1).mean(axis=-1)
+    return latent
+
+
+# ----------------------------------------------------------------------
+# init / param plumbing
+# ----------------------------------------------------------------------
+def init_params(cfg: HTSATConfig = HTSAT_BASE, seed: int = 0) -> dict:
+    """Seeded random parameters with HF Clap naming (+ static head counts)."""
+    rng = np.random.default_rng(seed)
+    p = {}
+
+    def lin(prefix, d_in, d_out, bias=True):
+        p[f"{prefix}.weight"] = (
+            rng.normal(scale=0.02, size=(d_out, d_in)).astype(np.float32)
+        )
+        if bias:
+            p[f"{prefix}.bias"] = np.zeros(d_out, np.float32)
+
+    def ln(prefix, d):
+        p[f"{prefix}.weight"] = np.ones(d, np.float32)
+        p[f"{prefix}.bias"] = np.zeros(d, np.float32)
+
+    nm = cfg.num_mel_bins
+    p["audio_encoder.batch_norm.weight"] = np.ones(nm, np.float32)
+    p["audio_encoder.batch_norm.bias"] = np.zeros(nm, np.float32)
+    p["audio_encoder.batch_norm.running_mean"] = np.zeros(nm, np.float32)
+    p["audio_encoder.batch_norm.running_var"] = np.ones(nm, np.float32)
+
+    ps = cfg.patch_size
+    p["audio_encoder.patch_embed.proj.weight"] = rng.normal(
+        scale=0.02, size=(cfg.embed_dim, 1, ps, ps)
+    ).astype(np.float32)
+    p["audio_encoder.patch_embed.proj.bias"] = np.zeros(cfg.embed_dim, np.float32)
+    ln("audio_encoder.patch_embed.norm", cfg.embed_dim)
+
+    for i, depth in enumerate(cfg.depths):
+        dim = cfg.embed_dim * 2**i
+        for j in range(depth):
+            pre = f"audio_encoder.layers.{i}.blocks.{j}"
+            ln(f"{pre}.layernorm_before", dim)
+            for name in ("query", "key", "value"):
+                lin(f"{pre}.attention.self.{name}", dim, dim, bias=cfg.qkv_bias)
+            p[f"{pre}.attention.self.relative_position_bias_table"] = rng.normal(
+                scale=0.02,
+                size=((2 * cfg.window_size - 1) ** 2, cfg.num_heads[i]),
+            ).astype(np.float32)
+            lin(f"{pre}.attention.output.dense", dim, dim)
+            ln(f"{pre}.layernorm_after", dim)
+            hidden = int(cfg.mlp_ratio * dim)
+            lin(f"{pre}.intermediate.dense", dim, hidden)
+            lin(f"{pre}.output.dense", hidden, dim)
+        if i < len(cfg.depths) - 1:
+            pre = f"audio_encoder.layers.{i}.downsample"
+            ln(f"{pre}.norm", 4 * dim)
+            lin(f"{pre}.reduction", 4 * dim, 2 * dim, bias=False)
+
+    ln("audio_encoder.norm", cfg.num_features)
+    return p

@@ -1,0 +1,190 @@
+"""VGGish embedder in JAX.
+
+Counterpart of reference src/audio_metrics/embedders/vggish.py:5-33, which
+wraps ``torch.hub.load("harritaylor/torchvggish")`` with pre/postprocessing
+disabled and the final ReLU replaced by Identity, returning pre-activation
+128-d features averaged over 0.96 s patches.
+
+Architecture (torchvggish VGG):
+  features: [Conv64, MP, Conv128, MP, Conv256 x2, MP, Conv512 x2, MP]
+  (3x3 convs pad 1, ReLU; 2x2 maxpool stride 2)
+  embeddings: Linear(12288, 4096) ReLU Linear(4096, 4096) ReLU
+              Linear(4096, 128) [final ReLU removed, vggish.py:12]
+
+Frontend (torchvggish mel_features): 16 kHz mono -> magnitude STFT
+(25 ms / 10 ms hann, n_fft 512, no centering) -> 64 HTK mel bands
+125-7500 Hz (mel-domain triangles, DC bin zeroed) -> log(mel + 0.01) ->
+non-overlapping 96-frame patches.  All of it runs on device via matmul-DFT
+(ops/mel.py), batched over the whole window batch, unlike the reference's
+per-item host preprocessing (vggish.py:27-31).
+
+Weights: ``convert_torch_state_dict`` maps the torchvggish checkpoint;
+without a local checkpoint the model falls back to seeded random init
+(useful for benchmarks/tests; a warning is emitted once).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.mel import log_mel_spectrogram
+from .base import Embedder
+
+__all__ = ["VGGish", "vggish_log_mel_patches", "convert_torch_state_dict"]
+
+logger = logging.getLogger(__name__)
+
+SAMPLE_RATE = 16000
+_FRAME_LEN = 400  # 25 ms
+_HOP = 160  # 10 ms
+_N_FFT = 512
+_N_MELS = 64
+_PATCH_FRAMES = 96
+_CONV_CHANNELS = [(1, 64), (64, 128), (128, 256), (256, 256), (256, 512), (512, 512)]
+# features indices of conv layers in the torch Sequential
+_TORCH_CONV_IDX = [0, 3, 6, 8, 11, 13]
+# maxpool after these conv positions (0-based in conv list)
+_POOL_AFTER = {0, 1, 3, 5}
+_FC_DIMS = [(512 * 4 * 6, 4096), (4096, 4096), (4096, 128)]
+_TORCH_FC_IDX = [0, 2, 4]
+
+
+def vggish_log_mel_patches(audio, sr: int = SAMPLE_RATE):
+    """audio (B, n) -> (B, n_patches, 96, 64) log-mel examples."""
+    mel = log_mel_spectrogram(
+        audio,
+        sampling_rate=sr,
+        frame_length=_FRAME_LEN,
+        hop_length=_HOP,
+        n_fft=_N_FFT,
+        n_mels=_N_MELS,
+        fmin=125.0,
+        fmax=7500.0,
+        center=False,
+        power=1.0,  # magnitude, not power
+        mel_norm=None,
+        mel_scale="htk",
+        triangle_domain="mel",
+        zero_dc=True,
+        log_mode="natural",
+        log_offset=0.01,
+    )
+    b, n_frames, n_mels = mel.shape
+    n_patches = n_frames // _PATCH_FRAMES
+    return mel[:, : n_patches * _PATCH_FRAMES].reshape(
+        b, n_patches, _PATCH_FRAMES, n_mels
+    )
+
+
+def init_params(seed: int = 0) -> dict:
+    """Random-init parameters with torchvggish state-dict naming."""
+    rng = np.random.default_rng(seed)
+    params = {}
+    for (c_in, c_out), idx in zip(_CONV_CHANNELS, _TORCH_CONV_IDX):
+        scale = np.sqrt(2.0 / (c_in * 9))
+        params[f"features.{idx}.weight"] = rng.normal(
+            scale=scale, size=(c_out, c_in, 3, 3)
+        ).astype(np.float32)
+        params[f"features.{idx}.bias"] = np.zeros(c_out, np.float32)
+    for (d_in, d_out), idx in zip(_FC_DIMS, _TORCH_FC_IDX):
+        scale = np.sqrt(2.0 / d_in)
+        params[f"embeddings.{idx}.weight"] = rng.normal(
+            scale=scale, size=(d_out, d_in)
+        ).astype(np.float32)
+        params[f"embeddings.{idx}.bias"] = np.zeros(d_out, np.float32)
+    return params
+
+
+def convert_torch_state_dict(state_dict) -> dict:
+    """torchvggish state dict -> our param dict (same names, numpy arrays)."""
+    out = {}
+    for k, v in state_dict.items():
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        out[k] = arr.astype(np.float32)
+    return out
+
+
+@jax.jit
+def _forward(params: dict, patches):
+    """patches (N, 96, 64) -> (N, 128) pre-activation embeddings."""
+    x = patches[:, None, :, :]  # NCHW
+    for i, idx in enumerate(_TORCH_CONV_IDX):
+        w = params[f"features.{idx}.weight"]
+        b = params[f"features.{idx}.bias"]
+        x = jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(w),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        ) + jnp.asarray(b)[None, :, None, None]
+        x = jax.nn.relu(x)
+        if i in _POOL_AFTER:
+            x = jax.lax.reduce_window(
+                x,
+                -jnp.inf,
+                jax.lax.max,
+                window_dimensions=(1, 1, 2, 2),
+                window_strides=(1, 1, 2, 2),
+                padding="VALID",
+            )
+    # torch: permute NCHW -> NHWC then flatten (vggish.py network definition)
+    x = jnp.transpose(x, (0, 2, 3, 1)).reshape(x.shape[0], -1)
+    for i, idx in enumerate(_TORCH_FC_IDX):
+        w = jnp.asarray(params[f"embeddings.{idx}.weight"])
+        b = jnp.asarray(params[f"embeddings.{idx}.bias"])
+        x = jnp.dot(x, w.T, preferred_element_type=jnp.float32) + b
+        if i < 2:
+            x = jax.nn.relu(x)
+    return x
+
+
+@partial(jax.jit, static_argnames=())
+def _embed(params: dict, audio):
+    patches = vggish_log_mel_patches(audio)
+    b, t = patches.shape[:2]
+    flat = patches.reshape(b * t, _PATCH_FRAMES, _N_MELS)
+    emb = _forward(params, flat)
+    return emb.reshape(b, t, -1).mean(axis=1)
+
+
+class VGGish(Embedder):
+    """128-d pre-activation VGGish embeddings averaged over 0.96 s patches."""
+
+    names = ("embedding",)
+
+    def __init__(self, params: dict | None = None, ckpt: str | None = None):
+        if params is None and ckpt is not None:
+            params = load_checkpoint(ckpt)
+        if params is None:
+            logger.warning(
+                "VGGish: no checkpoint provided/found; using seeded random "
+                "weights (fine for benchmarks and pipeline tests, not for "
+                "real metric values)"
+            )
+            params = init_params()
+        self.params = jax.tree.map(jnp.asarray, params)
+
+    @property
+    def sr(self) -> int:
+        return SAMPLE_RATE
+
+    def forward(self, data: dict) -> dict:
+        audio = jnp.asarray(data["audio"], dtype=jnp.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        return {"embedding": _embed(self.params, audio)}
+
+
+def load_checkpoint(path: str) -> dict:
+    """Load a torchvggish .pth checkpoint from a local path."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_torch_state_dict(state)
