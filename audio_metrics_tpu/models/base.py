@@ -27,3 +27,20 @@ class Embedder:
 
     def __call__(self, data: dict) -> dict:
         return self.forward(data)
+
+    def shard(self, mesh) -> None:
+        """Replicate parameters over a mesh (SPMD data parallelism).
+
+        The TPU equivalent of the reference's per-GPU model replica cache
+        (gpu_parallel.py:50-57): with a mesh, replication is a one-time
+        ``device_put`` with a fully-replicated NamedSharding; the jitted
+        forward then runs SPMD with batch-sharded inputs.
+        """
+        params = getattr(self, "params", None)
+        if params is None:
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())
+        self.params = jax.device_put(params, sharding)

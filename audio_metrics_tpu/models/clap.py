@@ -80,11 +80,23 @@ def clap_mel(audio):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _clap_forward(params: dict, audio, cfg: HTSATConfig):
-    """audio (B, MAX_SAMPLES) -> dict of all tap outputs (B, 512)."""
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
+    """audio (B, n <= MAX_SAMPLES) -> dict of all tap outputs (B, 512).
+
+    Shorter-than-10s audio is repeat-padded on device (shapes are static, so
+    the tile+pad traces cleanly) — the host never materializes the padded
+    copy and host->device transfers stay at the original clip length.
+    """
+    n = audio.shape[1]
+    if n < MAX_SAMPLES:
+        n_repeat = MAX_SAMPLES // n
+        audio = jnp.tile(audio, (1, n_repeat))
+        pad = MAX_SAMPLES - audio.shape[1]
+        if pad:
+            audio = jnp.pad(audio, ((0, 0), (0, pad)))
     mel = clap_mel(audio)
-    latent = htsat_encode(params, mel, cfg)
+    latent = htsat_encode(params, mel, cfg, compute_dtype=compute_dtype)
     l1 = (
         jnp.dot(
             latent,
@@ -111,7 +123,11 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig):
 
 def _repeatpad_np(audio: np.ndarray, max_len: int, rng) -> np.ndarray:
     """laion get_audio_features data handling, batched on host:
-    shorter -> tile whole copies then zero-pad; longer -> random crop."""
+    shorter -> tile whole copies then zero-pad; longer -> random crop.
+
+    (The shorter-than-max case is also implemented on device inside
+    ``_clap_forward``; this host version handles the rand_trunc crop and
+    serves as the spec for tests.)"""
     b, n = audio.shape
     if n == max_len:
         return audio
@@ -142,9 +158,16 @@ class LaionCLAP(Embedder):
         params: dict | None = None,
         cfg: HTSATConfig = HTSAT_BASE,
         seed: int = 0,
+        compute_dtype: str | None = None,
     ):
+        """``compute_dtype="bfloat16"`` runs the transformer's matmuls in
+        bf16 on the MXU (~2x throughput on v5e) with f32 normalization,
+        softmax and pooling; default float32."""
         self.layer = layer
         self.cfg = cfg
+        self.compute_dtype = (
+            jnp.dtype(compute_dtype).type if compute_dtype else None
+        )
         self._rng = np.random.default_rng(seed)
         if params is None and ckpt is not None:
             params = _load_params(ckpt)
@@ -162,11 +185,20 @@ class LaionCLAP(Embedder):
         return SAMPLE_RATE
 
     def forward(self, data: dict) -> dict:
-        audio = np.asarray(data["audio"], dtype=np.float32)
+        audio = data["audio"]
         if audio.ndim == 1:
             audio = audio[None]
-        audio = _repeatpad_np(audio, MAX_SAMPLES, self._rng)
-        out = _clap_forward(self.params, jnp.asarray(audio), self.cfg)
+        if audio.shape[1] > MAX_SAMPLES:
+            # rand_trunc crop happens on host (data-dependent offsets)
+            audio = _repeatpad_np(
+                np.asarray(audio, dtype=np.float32), MAX_SAMPLES, self._rng
+            )
+        out = _clap_forward(
+            self.params,
+            jnp.asarray(audio, dtype=jnp.float32),
+            self.cfg,
+            self.compute_dtype,
+        )
         if self.layer:
             return {"embedding": out[self.layer]}
         return {"embedding": out["embedding"]}

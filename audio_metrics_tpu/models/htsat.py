@@ -127,16 +127,24 @@ def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
 # building blocks
 # ----------------------------------------------------------------------
 def _layer_norm(x, w, b, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+    """LayerNorm with f32 statistics regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32) + b.astype(
+        jnp.float32
+    )
+    return out.astype(x.dtype)
 
 
 def _linear(x, params, prefix):
-    w = params[f"{prefix}.weight"]
+    """Matmul in the activation dtype (bf16 on MXU), f32 accumulation."""
+    w = params[f"{prefix}.weight"].astype(x.dtype)
     out = jnp.dot(x, w.T, preferred_element_type=jnp.float32)
     b = params.get(f"{prefix}.bias")
-    return out if b is None else out + b
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _window_partition(x, window: int):
@@ -161,10 +169,11 @@ def _window_attention(x, params, prefix, num_heads: int, window: int, attn_mask)
         return y.reshape(bn, n, num_heads, head).transpose(0, 2, 1, 3)
 
     q, k, v = qkv("query"), qkv("key"), qkv("value")
+    # scores in f32 (softmax numerics), value matmul back in activation dtype
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(head)
 
-    table = params[f"{prefix}.self.relative_position_bias_table"]
+    table = params[f"{prefix}.self.relative_position_bias_table"].astype(jnp.float32)
     idx = _relative_position_index(window).reshape(-1)
     bias = table[idx].reshape(n, n, num_heads).transpose(2, 0, 1)
     scores = scores + bias[None]
@@ -175,9 +184,9 @@ def _window_attention(x, params, prefix, num_heads: int, window: int, attn_mask)
         scores = scores + jnp.asarray(attn_mask)[None, :, None]
         scores = scores.reshape(bn, num_heads, n, n)
 
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(bn, n, c)
+    ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(bn, n, c)
     return _linear(ctx, params, f"{prefix}.output.dense")
 
 
@@ -273,13 +282,19 @@ def reshape_mel2img(mel, cfg: HTSATConfig):
     return x
 
 
-def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE):
-    """mel: (B, T, n_mels) log-mel -> pooled latent (B, num_features).
+def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE, compute_dtype=None):
+    """mel: (B, T, n_mels) log-mel -> pooled latent (B, num_features) f32.
 
     Mirrors ClapAudioEncoder.forward: batch-norm over mel bins,
     reshape_mel2img, patch embed, 4 swin stages with patch merging, final
     layer norm, token-semantic regrouping, average pool.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) sets the activation/matmul dtype
+    inside the transformer; normalization statistics, softmax, and the final
+    pooling stay float32.
     """
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
     mel = jnp.asarray(mel, dtype=jnp.float32)
     # BatchNorm2d over the mel-bin axis, eval mode (running stats)
     mean = params["audio_encoder.batch_norm.running_mean"]
@@ -289,9 +304,10 @@ def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE):
     mel = (mel - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
 
     x = reshape_mel2img(mel, cfg)  # (B, 1, spec, spec)
+    x = x.astype(compute_dtype)
 
     # patch embed: conv k=4 s=4 + flatten + LN
-    w = params["audio_encoder.patch_embed.proj.weight"]
+    w = params["audio_encoder.patch_embed.proj.weight"].astype(compute_dtype)
     b = params["audio_encoder.patch_embed.proj.bias"]
     x = jax.lax.conv_general_dilated(
         x,
@@ -300,7 +316,8 @@ def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE):
         padding=[(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
-    ) + b[None, :, None, None]
+    ) + b[None, :, None, None].astype(jnp.float32)
+    x = x.astype(compute_dtype)
     bsz, c, gh, gw = x.shape
     x = x.reshape(bsz, c, gh * gw).transpose(0, 2, 1)  # (B, N, C)
     x = _layer_norm(
@@ -344,7 +361,7 @@ def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE):
     c_freq_bin = freq_shape // cfg.freq_ratio
     x = x.reshape(bsz, c, freq_shape // c_freq_bin, c_freq_bin, temporal_shape)
     x = x.transpose(0, 1, 3, 2, 4).reshape(bsz, c, c_freq_bin, -1)
-    latent = x.reshape(bsz, c, -1).mean(axis=-1)
+    latent = x.reshape(bsz, c, -1).astype(jnp.float32).mean(axis=-1)
     return latent
 
 

@@ -159,21 +159,26 @@ def stft_power(
     if center:
         pad = frame_length // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    n = x.shape[1]
-    n_frames = 1 + (n - frame_length) // hop_length
-    idx = (
-        np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
-    )
-    frames = x[:, idx]  # (B, n_frames, frame_length)
 
+    # framing + windowed DFT as ONE strided convolution: kernel rows are the
+    # windowed cos/sin basis vectors, stride is the hop.  This maps straight
+    # onto the MXU; an index-array gather here is pathologically slow on TPU.
     cos_m, sin_m = _dft_matrices(frame_length, n_fft, window)
-    re = jnp.einsum(
-        "btf,fk->btk", frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32
-    )
-    im = jnp.einsum(
-        "btf,fk->btk", frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32
-    )
-    sq = re * re + im * im
+    n_bins = cos_m.shape[1]
+    kernel = jnp.asarray(
+        np.concatenate([cos_m.T, sin_m.T], axis=0)[:, None, :]
+    )  # (2*n_bins, 1, frame_length)
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :],
+        kernel,
+        window_strides=(hop_length,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # (B, 2*n_bins, n_frames)
+    re = out[:, :n_bins, :]
+    im = out[:, n_bins:, :]
+    sq = jnp.transpose(re * re + im * im, (0, 2, 1))
     if power == 2.0:
         return sq
     return jnp.sqrt(jnp.maximum(sq, 1e-30)) ** power

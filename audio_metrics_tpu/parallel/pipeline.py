@@ -202,6 +202,19 @@ def embedding_pipeline(
     in_sr = input_sr if input_sr is not None else embedder.sr
     need_resample = input_sr is not None and input_sr != embedder.sr
 
+    # SPMD over the mesh: batches are sharded on the leading axis, embedder
+    # params replicated; jit/GSPMD inserts the cross-chip reductions for the
+    # moment sums.  Batch size must tile evenly over the chips.
+    batch_sharding_ = None
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if batch_size % mesh.size:
+            batch_size = -(-batch_size // mesh.size) * mesh.size
+        batch_sharding_ = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        if hasattr(embedder, "shard"):
+            embedder.shard(mesh)
+
     items = iter(waveforms)
 
     if apa_mode == "reference":
@@ -241,6 +254,8 @@ def embedding_pipeline(
     }
 
     for kind, audio, category, valid in _bucketed_batches(categorized, batch_size):
+        if batch_sharding_ is not None:
+            audio = jax.device_put(jnp.asarray(audio), batch_sharding_)
         if need_resample:
             audio = _device_resample(audio, input_sr, embedder.sr)
         if kind == "pair":

@@ -244,3 +244,19 @@ def test_registry_names():
     assert isinstance(d, DummyEmbedder)
     with pytest.raises(ValueError):
         get_embedder("nope")
+
+
+def test_clap_bf16_close_to_f32():
+    from audio_metrics_tpu.models.htsat import HTSAT_TINY
+    import audio_metrics_tpu.models.clap as clap_mod
+
+    params = None
+    rng = np.random.default_rng(8)
+    audio = (0.2 * rng.normal(size=(2, clap_mod.MAX_SAMPLES // 2))).astype(np.float32)
+    e32 = clap_mod.LaionCLAP(cfg=HTSAT_TINY, seed=3)
+    e16 = clap_mod.LaionCLAP(cfg=HTSAT_TINY, seed=3, compute_dtype="bfloat16")
+    o32 = np.asarray(e32.forward({"audio": audio})["embedding"])
+    o16 = np.asarray(e16.forward({"audio": audio})["embedding"])
+    # both normalized; cosine similarity must be very high
+    cos = np.sum(o32 * o16, axis=1)
+    assert np.all(cos > 0.995), cos

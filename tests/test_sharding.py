@@ -1,0 +1,125 @@
+"""Multi-chip (virtual 8-device CPU mesh) tests.
+
+Validates that the SPMD path — batch-sharded device steps, replicated
+params, GSPMD-inserted cross-chip reductions — produces the same statistics
+and metric values as single-device execution (SURVEY.md §2.10: the TPU
+equivalent of the reference's free-GPU-queue data parallelism).
+"""
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import NamedSharding, PartitionSpec
+
+from audio_metrics_tpu import AudioMetrics
+from audio_metrics_tpu.data import batch_moments
+from audio_metrics_tpu.models import DummyEmbedder
+from audio_metrics_tpu.parallel.mesh import make_mesh, DATA_AXIS
+
+
+requires_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def mix_func(audio, sr=None):
+    return audio.mean(axis=1)
+
+
+class FullRankDummy(DummyEmbedder):
+    """Deterministic embedder with a full-rank embedding distribution.
+
+    The standard DummyEmbedder produces rank-1 embeddings (outer product),
+    whose singular covariance makes FAD's trace-sqrtm amplify fp noise by
+    orders of magnitude — unusable for cross-device equivalence checks.
+    Here each dim is the std of a different stride-slice of the window.
+    """
+
+    def forward(self, data):
+        import jax.numpy as jnp
+
+        audio = jnp.asarray(data["audio"], dtype=jnp.float32)
+        segs = audio.reshape(audio.shape[0], -1, 10)
+        emb = 1e2 * jnp.std(segs, axis=1) * (1.0 + jnp.arange(10, dtype=jnp.float32))
+        return {"embedding": emb}
+
+
+@requires_8_devices
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.size == 8
+    sub = make_mesh(device_indices=[0, 2, 4, 6])
+    assert sub.size == 4
+
+
+@requires_8_devices
+def test_sharded_moments_match_single_device():
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    e = rng.normal(size=(64, 16)).astype(np.float32)
+    mask = rng.random(64) < 0.7
+
+    n1, s1a, s2a = jax.tree.map(np.asarray, batch_moments(e, mask))
+
+    sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    e_sharded = jax.device_put(e, sharding)
+    m_sharded = jax.device_put(mask, sharding)
+    n2, s1b, s2b = jax.tree.map(np.asarray, batch_moments(e_sharded, m_sharded))
+
+    assert n1 == n2
+    # different cross-chip reduction order -> fp32 noise
+    np.testing.assert_allclose(s1a, s1b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s2a, s2b, rtol=1e-4, atol=1e-4)
+
+
+@requires_8_devices
+def test_pipeline_sharded_matches_unsharded():
+    rng = np.random.default_rng(1)
+    sr = 16000
+    reference = rng.random((24, 5 * sr, 2))
+    candidate = rng.random((24, 5 * sr, 2))
+
+    def build(device_indices):
+        return AudioMetrics(
+            embedder=FullRankDummy(),
+            mix_function=mix_func,
+            metrics=["fad", "kd", "prdc", "apa"],
+            device_indices=device_indices,
+            batch_size=16,
+        )
+
+    import random
+
+    am_multi = build(None)  # all 8 devices
+    assert am_multi.mesh is not None and am_multi.mesh.size == 8
+    random.seed(42)  # the APA shuffles draw from the global rng
+    am_multi.add_reference(reference)
+    r_multi = am_multi.evaluate(candidate)
+
+    am_single = build([0])
+    assert am_single.mesh.size == 1
+    random.seed(42)
+    am_single.add_reference(reference)
+    r_single = am_single.evaluate(candidate)
+
+    assert set(r_multi) == set(r_single)
+    # cross-chip reduction order perturbs f32 moments at ~1e-6; FAD's
+    # trace-sqrtm amplifies that to ~1e-4..1e-3 relative
+    for k in r_single:
+        np.testing.assert_allclose(r_multi[k], r_single[k], rtol=2e-3, atol=1e-6)
+
+
+@requires_8_devices
+def test_batch_size_rounded_to_mesh():
+    # batch_size 10 on an 8-device mesh must still work (rounded up internally)
+    rng = np.random.default_rng(2)
+    sr = 16000
+    am = AudioMetrics(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        metrics=["fad"],
+        batch_size=10,
+    )
+    am.add_reference(rng.random((12, 5 * sr)))
+    out = am.evaluate(rng.random((12, 5 * sr)))
+    assert np.isfinite(out["fad"])
