@@ -41,13 +41,17 @@ def ensure_ndarray(x) -> np.ndarray:
 
 
 def batch_moments(embeddings, mask=None):
-    """Raw moments of a batch of embeddings: ``(n, sum_x, x^T diag(mask) x)``.
+    """Batch moments: ``(n, sum_x, sum (x-mu)(x-mu)^T over masked rows)``.
 
     Pure jnp function; jit/pjit-friendly.  ``mask`` (float or bool, shape
     [batch]) selects valid rows, enabling fixed-shape padded batches and
-    per-category routing on device.  The returned pytree can be merged across
-    chips with ``jax.lax.psum`` — this replaces the reference's host-side
-    per-category ``AudioMetricsData.add`` loop (embed.py:226-236).
+    per-category routing on device.  The second moment is *centered* at the
+    batch mean: a raw ``x^T x`` in float32 cancels catastrophically against
+    ``n mu mu^T`` when |mean| >> std, while the centered form stays accurate.
+    Centering uses the globally-reduced mean, so under GSPMD the whole
+    computation still shards over the batch axis — this replaces the
+    reference's host-side per-category ``AudioMetricsData.add`` loop
+    (embed.py:226-236).
     """
     import jax.numpy as jnp
 
@@ -55,15 +59,17 @@ def batch_moments(embeddings, mask=None):
     if mask is None:
         n = jnp.asarray(e.shape[0], dtype=jnp.float32)
         s1 = jnp.sum(e, axis=0)
-        s2 = jnp.dot(e.T, e, preferred_element_type=jnp.float32)
+        mean = s1 / jnp.maximum(n, 1.0)
+        c = e - mean
+        m2 = jnp.dot(c.T, c, preferred_element_type=jnp.float32)
     else:
         m = jnp.asarray(mask, dtype=jnp.float32)
         n = jnp.sum(m)
-        em = e * m[:, None]
-        s1 = jnp.sum(em, axis=0)
-        # e^T diag(m) e == (e*m)^T e for 0/1 masks
-        s2 = jnp.dot(em.T, e, preferred_element_type=jnp.float32)
-    return n, s1, s2
+        s1 = jnp.sum(e * m[:, None], axis=0)
+        mean = s1 / jnp.maximum(n, 1.0)
+        c = (e - mean) * m[:, None]
+        m2 = jnp.dot(c.T, c, preferred_element_type=jnp.float32)
+    return n, s1, m2
 
 
 class AudioMetricsData:
@@ -108,9 +114,10 @@ class AudioMetricsData:
             self._embedding_chunks.append(np.array(e, dtype=np.float32, copy=True))
             self._embeddings_cat = None
 
-    def add_moments(self, n, s1, s2, embeddings=None) -> None:
-        """Accumulate device-computed raw moments (see :func:`batch_moments`).
+    def add_moments(self, n, s1, m2, embeddings=None) -> None:
+        """Accumulate device-computed moments (see :func:`batch_moments`).
 
+        ``m2`` is the mean-centered second-moment sum; ``cov = m2 / (n-1)``.
         ``embeddings`` (optional) are the corresponding valid rows, stored when
         ``store_embeddings`` is set.  This is the fast path used by the
         embedding pipeline: device returns float32 moments, host merges f64.
@@ -119,12 +126,12 @@ class AudioMetricsData:
         if n <= 0:
             return
         s1 = ensure_ndarray(s1).astype(np.float64)
-        s2 = ensure_ndarray(s2).astype(np.float64)
+        m2 = ensure_ndarray(m2).astype(np.float64)
         mean = s1 / n
         if n == 1:
             cov = np.zeros((s1.shape[0], s1.shape[0]), dtype=self.dtype)
         else:
-            cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
+            cov = m2 / (n - 1)
         self._update_stats(mean, cov, n)
         if self.store_embeddings:
             if embeddings is None:

@@ -24,6 +24,9 @@ models are replicated CUDA modules.  Here the design is inverted:
 
 from __future__ import annotations
 
+import os
+import random
+import threading
 from enum import IntEnum
 from functools import partial
 from itertools import tee
@@ -134,6 +137,44 @@ def _bucketed_batches(items, batch_size):
             yield flush(kind, audio_list, cat_list)
 
 
+def _native_batches(
+    waveforms, batch_size, win_len, apa_mode, stems_mode, seed, song_buffer,
+    win_buffer, win_min_age
+):
+    """Batches from the C++ loader: a feeder thread streams songs in (the
+    ctypes call releases the GIL and blocks on the loader's backpressure)
+    while the caller consumes ready batches."""
+    from .native_loader import NativeBatcher
+
+    nb = NativeBatcher(
+        batch_size=batch_size,
+        win_len=win_len,
+        apa_mode=apa_mode,
+        stems_mode=stems_mode,
+        song_buffer=song_buffer,
+        win_buffer=win_buffer,
+        win_min_age=win_min_age,
+        seed=seed if seed is not None else random.getrandbits(63),
+    )
+    errors = []
+
+    def feeder():
+        try:
+            for song in waveforms:
+                nb.feed(ensure_ndarray(song))
+        except Exception as exc:  # surfaced after iteration
+            errors.append(exc)
+        finally:
+            nb.finish()
+
+    thread = threading.Thread(target=feeder, daemon=True)
+    thread.start()
+    yield from nb
+    thread.join()
+    if errors:
+        raise errors[0]
+
+
 # ----------------------------------------------------------------------
 # device-side stages
 # ----------------------------------------------------------------------
@@ -192,6 +233,7 @@ def embedding_pipeline(
     seed: int | None = None,
     input_sr: int | None = None,
     mesh=None,
+    use_native: bool | None = None,
 ) -> dict:
     """Embed a stream of waveforms and accumulate per-category statistics.
 
@@ -215,28 +257,49 @@ def embedding_pipeline(
         if hasattr(embedder, "shard"):
             embedder.shard(mesh)
 
-    items = iter(waveforms)
+    if use_native is None:
+        use_native = os.environ.get("AM_TPU_NATIVE_LOADER") == "1"
+    if use_native:
+        from .native_loader import native_available
 
-    if apa_mode == "reference":
-        # song-level shuffle so misaligned pairs cross song boundaries
-        items = (ensure_ndarray(x) for x in items)
-        items = shuffle_stream(items, buffer_size=song_buffer_size, seed=seed)
+        use_native = native_available()
 
-    # window at the input rate; resampling happens on device per batch
-    windows = multi_audio_slicer(items, win_dur, sr=in_sr)
-
-    if apa_mode == "reference":
-        windows, shuffled = tee(windows)
-        shuffled = shuffle_stream(
-            shuffled,
-            buffer_size=win_buffer_size,
-            min_age=win_min_age,
+    if use_native:
+        batches = _native_batches(
+            waveforms,
+            batch_size=batch_size,
+            win_len=int(in_sr * win_dur),
+            apa_mode=apa_mode,
+            stems_mode=stems_mode,
             seed=seed,
+            song_buffer=song_buffer_size,
+            win_buffer=win_buffer_size,
+            win_min_age=win_min_age,
         )
     else:
-        shuffled = None
+        items = iter(waveforms)
 
-    categorized = serialize_items(windows, shuffled, apa_mode, stems_mode)
+        if apa_mode == "reference":
+            # song-level shuffle so misaligned pairs cross song boundaries
+            items = (ensure_ndarray(x) for x in items)
+            items = shuffle_stream(items, buffer_size=song_buffer_size, seed=seed)
+
+        # window at the input rate; resampling happens on device per batch
+        windows = multi_audio_slicer(items, win_dur, sr=in_sr)
+
+        if apa_mode == "reference":
+            windows, shuffled = tee(windows)
+            shuffled = shuffle_stream(
+                shuffled,
+                buffer_size=win_buffer_size,
+                min_age=win_min_age,
+                seed=seed,
+            )
+        else:
+            shuffled = None
+
+        categorized = serialize_items(windows, shuffled, apa_mode, stems_mode)
+        batches = _bucketed_batches(categorized, batch_size)
 
     # result accumulators (reference embed.py:218-224)
     metrics_data: dict[ItemCategory, AudioMetricsData] = {}
@@ -253,7 +316,7 @@ def embedding_pipeline(
         ItemCategory.stem: store_stem_embeddings,
     }
 
-    for kind, audio, category, valid in _bucketed_batches(categorized, batch_size):
+    for kind, audio, category, valid in batches:
         if batch_sharding_ is not None:
             audio = jax.device_put(jnp.asarray(audio), batch_sharding_)
         if need_resample:

@@ -42,11 +42,24 @@ def test_batch_moments_masked():
     rng = np.random.default_rng(1)
     e = rng.normal(size=(64, 16)).astype(np.float32)
     mask = rng.random(64) < 0.5
-    n, s1, s2 = batch_moments(e, mask)
+    n, s1, m2 = batch_moments(e, mask)
     sel = e[mask].astype(np.float64)
     assert int(n) == mask.sum()
     np.testing.assert_allclose(np.asarray(s1), sel.sum(axis=0), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(s2), sel.T @ sel, rtol=1e-4)
+    c = sel - sel.mean(axis=0)
+    np.testing.assert_allclose(np.asarray(m2), c.T @ c, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_moments_large_mean_no_cancellation():
+    # |mean| >> std is exactly where a raw second moment cancels in f32
+    rng = np.random.default_rng(6)
+    e = (1e3 + rng.normal(size=(32, 8))).astype(np.float32)
+    a = AudioMetricsData(False)
+    n, s1, m2 = batch_moments(e)
+    a.add_moments(n, s1, m2)
+    b = AudioMetricsData(False)
+    b.add(e)
+    np.testing.assert_allclose(a.cov, b.cov, rtol=1e-4, atol=1e-4)
 
 
 def test_add_moments_matches_add():
