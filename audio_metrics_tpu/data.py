@@ -133,11 +133,7 @@ class AudioMetricsData:
         else:
             cov = m2 / (n - 1)
         self._update_stats(mean, cov, n)
-        if self.store_embeddings:
-            if embeddings is None:
-                raise ValueError(
-                    "store_embeddings=True but no embeddings passed to add_moments"
-                )
+        if self.store_embeddings and embeddings is not None:
             e = ensure_ndarray(embeddings)
             self._embedding_chunks.append(np.array(e, dtype=np.float32, copy=True))
             self._embeddings_cat = None

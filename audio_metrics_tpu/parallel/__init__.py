@@ -11,3 +11,7 @@ __all__ = [
     "replicated_sharding",
     "DATA_AXIS",
 ]
+
+from .stream import cpu_parallel, device_map_stream  # noqa: E402
+
+__all__ += ["cpu_parallel", "device_map_stream"]

@@ -194,6 +194,34 @@ def _category_moments(embedding, category, valid, wanted: tuple[int, ...]):
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _merge_moments_jit(acc, new):
+    """Chan/parallel combine of (n, sum_x, centered-M2) pytrees in f64.
+
+    Keeps the running accumulator ON DEVICE across the whole pipeline run —
+    no per-batch host sync; the host pulls one tiny (n, d, d x d) pytree at
+    the end.  The d x d combine is trivial work, so f64 is free, and the
+    result is psum-consistent across mesh shardings.
+    """
+    out = {}
+    for c, (n1, s1, m1) in acc.items():
+        n2, s2, m2 = new[c]
+        n1 = n1.astype(jnp.float64)
+        n2 = n2.astype(jnp.float64)
+        s1 = s1.astype(jnp.float64)
+        s2 = s2.astype(jnp.float64)
+        m1 = m1.astype(jnp.float64)
+        m2 = m2.astype(jnp.float64)
+        n_t = n1 + n2
+        mean1 = s1 / jnp.maximum(n1, 1.0)
+        mean2 = s2 / jnp.maximum(n2, 1.0)
+        d = mean2 - mean1
+        w = jnp.where(n_t > 0, n1 * n2 / jnp.maximum(n_t, 1.0), 0.0)
+        m_t = m1 + m2 + w * jnp.outer(d, d)
+        out[c] = (n_t, s1 + s2, m_t)
+    return out
+
+
 def _device_mix(mix_function, audio, sr):
     """Apply a mix function to a (B, n, 2) batch.
 
@@ -315,6 +343,19 @@ def embedding_pipeline(
         ItemCategory.misaligned: store_mix_embeddings,
         ItemCategory.stem: store_stem_embeddings,
     }
+    all_cats = tuple(int(c) for c in metrics_data)
+    pair_cats = tuple(
+        int(c)
+        for c in (ItemCategory.aligned, ItemCategory.misaligned)
+        if ItemCategory(c) in metrics_data
+    )
+    stem_cats = (int(ItemCategory.stem),) if ItemCategory.stem in metrics_data else ()
+    # running moment accumulators live on device; the host pulls one tiny
+    # pytree at the end of the stream (no per-batch sync)
+    acc = None
+    stored: dict[int, list] = {
+        int(c): [] for c in metrics_data if store_flags[ItemCategory(c)]
+    }
 
     for kind, audio, category, valid in batches:
         if batch_sharding_ is not None:
@@ -323,30 +364,31 @@ def embedding_pipeline(
             audio = _device_resample(audio, input_sr, embedder.sr)
         if kind == "pair":
             mono = _device_mix(mix_function, audio, sr=embedder.sr)
-            wanted = tuple(
-                int(c)
-                for c in (ItemCategory.aligned, ItemCategory.misaligned)
-                if ItemCategory(c) in metrics_data
-            )
+            wanted = pair_cats
         else:
             mono = audio
-            wanted = (int(ItemCategory.stem),)
+            wanted = stem_cats
 
-        out = embedder.forward({"audio": mono})
-        embedding = out["embedding"]
+        embedding = embedder.forward({"audio": mono})["embedding"]
 
-        moments = _category_moments(embedding, category, valid, wanted)
+        moments = _category_moments(embedding, category, valid, all_cats)
+        acc = moments if acc is None else _merge_moments_jit(acc, moments)
 
-        emb_host = None
-        for c in wanted:
-            cat = ItemCategory(c)
-            n, s1, s2 = moments[c]
-            if store_flags[cat]:
-                if emb_host is None:
-                    emb_host = ensure_ndarray(embedding)
-                rows = emb_host[(category == c) & valid]
-                metrics_data[cat].add_moments(n, s1, s2, embeddings=rows)
-            else:
-                metrics_data[cat].add_moments(n, s1, s2)
+        for c in stored:
+            if c in wanted:
+                mask = (category == c) & valid
+                if mask.any():
+                    stored[c].append((embedding, mask))
+
+    if acc is not None:
+        acc_host = jax.device_get(acc)
+        for c, (n, s1, m2) in acc_host.items():
+            metrics_data[ItemCategory(c)].add_moments(n, s1, m2)
+    for c, chunks in stored.items():
+        amd = metrics_data[ItemCategory(c)]
+        for embedding, mask in chunks:
+            rows = ensure_ndarray(embedding)[mask]
+            amd._embedding_chunks.append(np.array(rows, dtype=np.float32))
+            amd._embeddings_cat = None
 
     return metrics_data
