@@ -12,6 +12,8 @@ the MXU.
 
 from __future__ import annotations
 
+import logging
+import os
 from functools import partial
 
 import numpy as np
@@ -21,6 +23,28 @@ from ..data import ensure_ndarray
 __all__ = ["nearest_neighbour_distances", "prdc", "pairwise_distance_stats"]
 
 _BLOCK = 2048
+_pallas_ok: bool | None = None
+logger = logging.getLogger(__name__)
+
+
+def _try_pallas() -> bool:
+    """Use the fused Pallas kernels on TPU (HBM never sees the distance
+    matrix); fall back to the blocked XLA path elsewhere or on lowering
+    failure.  Disable explicitly with AM_TPU_NO_PALLAS=1."""
+    global _pallas_ok
+    if os.environ.get("AM_TPU_NO_PALLAS"):
+        return False
+    if _pallas_ok is None:
+        import jax
+
+        _pallas_ok = jax.default_backend() == "tpu"
+    return _pallas_ok
+
+
+def _pallas_failed(exc: Exception) -> None:
+    global _pallas_ok
+    logger.warning("pallas distance kernel failed (%s); using XLA path", exc)
+    _pallas_ok = False
 
 
 def _pad_rows(x: np.ndarray, block: int) -> tuple[np.ndarray, int]:
@@ -54,6 +78,13 @@ def nearest_neighbour_distances(input_features, nearest_k: int) -> np.ndarray:
     x = np.ascontiguousarray(ensure_ndarray(input_features), dtype=np.float32)
     n = x.shape[0]
     k = min(nearest_k + 1, n)
+    if _try_pallas():
+        from ..ops.distance import knn_radii_pallas
+
+        try:
+            return knn_radii_pallas(x, nearest_k)
+        except Exception as exc:  # Mosaic lowering or runtime failure
+            _pallas_failed(exc)
     # pad query rows only; the neighbour set (columns) stays unpadded so
     # padding can never appear as a fake neighbour
     xp, n_orig = _pad_rows(x, _BLOCK)
@@ -101,6 +132,14 @@ def pairwise_distance_stats(
     cand = np.ascontiguousarray(ensure_ndarray(candidate), dtype=np.float32)
     rr = np.asarray(ref_radii, dtype=np.float32)
     cr = np.asarray(cand_radii, dtype=np.float32)
+
+    if _try_pallas():
+        from ..ops.distance import pairwise_stats_pallas
+
+        try:
+            return pairwise_stats_pallas(ref, cand, rr, cr)
+        except Exception as exc:
+            _pallas_failed(exc)
 
     ref_p, n_ref = _pad_rows(ref, _BLOCK)
     rr_p = np.full(ref_p.shape[0], -1.0, np.float32)  # padded radii match nothing

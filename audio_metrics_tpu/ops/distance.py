@@ -1,0 +1,215 @@
+"""Pallas TPU kernels for blocked pairwise-distance reductions.
+
+The PRDC manifold metrics need reductions over an N x M euclidean distance
+matrix (k-NN radii, per-row mins, threshold counts; reference
+metrics/prdc.py:4-50 materializes the full matrix with torch.cdist).  The
+XLA path (metrics/prdc.py here) already blocks rows to O(block x M) memory,
+but each row-tile's distance matrix still round-trips HBM (matmul output
+written, elementwise+reduce read back).
+
+These Pallas kernels fuse the distance computation with its reduction: the
+(block_m x block_n) distance tile lives only in VMEM/registers — HBM sees
+just the inputs and the tiny reduction outputs.  The matmul part
+(-2 a b^T) runs on the MXU per tile.
+
+Kernels:
+- :func:`knn_radii_pallas` — distance to the k-th nearest neighbour per row
+  (streaming top-k merge across column tiles)
+- :func:`pairwise_stats_pallas` — the four PRDC reductions in one sweep
+
+Both have ``interpret=True`` support for CPU tests; the XLA implementations
+in metrics/prdc.py remain as the fallback path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn_radii_pallas", "pairwise_stats_pallas"]
+
+_BM = 512  # query rows per tile
+_BN = 1024  # neighbour columns per tile
+
+
+def _sq_dist_tile(a, sq_a, b, sq_b):
+    """(bm, d), (bm,1), (bn, d), (1,bn) -> (bm, bn) squared distances."""
+    dots = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(sq_a + sq_b - 2.0 * dots, 0.0)
+
+
+# ----------------------------------------------------------------------
+# k-NN radii
+# ----------------------------------------------------------------------
+def _knn_kernel(k: int, x_ref, sq_ref, xt_all_ref, sq_all_ref, out_ref, topk_ref):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        topk_ref[:] = jnp.full_like(topk_ref, jnp.inf)
+
+    d2 = _sq_dist_tile(x_ref[:], sq_ref[:], xt_all_ref[:], sq_all_ref[:])
+    # merge this tile into the running per-row k-smallest
+    merged = jnp.concatenate([topk_ref[:], d2], axis=1)
+    neg_top, _ = jax.lax.top_k(-merged, k)
+    topk_ref[:] = -neg_top
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = jnp.sqrt(jnp.maximum(topk_ref[:, k - 1 : k], 0.0))
+
+
+def knn_radii_pallas(x: np.ndarray, nearest_k: int, interpret: bool = False):
+    """Distance to the k-th nearest neighbour (self included, so k+1-smallest),
+    matching reference prdc.py:4-15 semantics.  x: (n, d) float32 -> (n,)."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n, d = x.shape
+    k = min(nearest_k + 1, n)
+
+    n_pad_m = (-n) % _BM
+    n_pad_n = (-n) % _BN
+    xq = np.pad(x, ((0, n_pad_m), (0, 0)))
+    xn = np.pad(x, ((0, n_pad_n), (0, 0)))
+    sq_q = (xq.astype(np.float64) ** 2).sum(1, dtype=np.float64).astype(np.float32)
+    sq_n = (xn.astype(np.float64) ** 2).sum(1, dtype=np.float64).astype(np.float32)
+    # padded neighbour rows must never win: infinite squared distance
+    sq_n[n:] = np.float32(np.inf)
+
+    grid = (xq.shape[0] // _BM, xn.shape[0] // _BN)
+
+    out = pl.pallas_call(
+        partial(_knn_kernel, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xq.shape[0], 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BM, k), jnp.float32)],
+        interpret=interpret,
+    )(xq, sq_q[:, None], xn, sq_n[None, :])
+    return np.asarray(out)[:n, 0]
+
+
+# ----------------------------------------------------------------------
+# PRDC pairwise stats
+# ----------------------------------------------------------------------
+def _stats_kernel(
+    ref_ref,
+    sq_ref,
+    rr_ref,
+    cand_ref,
+    sq_cand_ref,
+    cr_ref,
+    cand_any_ref,
+    cand_count_ref,
+    ref_any_ref,
+    ref_min_ref,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    d2 = _sq_dist_tile(ref_ref[:], sq_ref[:], cand_ref[:], sq_cand_ref[:])
+    d = jnp.sqrt(d2)
+    within_ref = d < rr_ref[:]  # (bm, bn): cand j inside ref i's ball
+    within_cand = d < cr_ref[:]  # (bm, bn): ref i inside cand j's ball
+
+    # cand-indexed partials: each (i, j) step owns its own output slice
+    cand_any_ref[:] = jnp.any(within_ref, axis=0, keepdims=True).astype(jnp.int32)
+    cand_count_ref[:] = jnp.sum(within_ref, axis=0, keepdims=True, dtype=jnp.int32)
+
+    # ref-indexed accumulators: same block revisited across consecutive j
+    @pl.when(j == 0)
+    def _():
+        ref_any_ref[:] = jnp.zeros_like(ref_any_ref)
+        ref_min_ref[:] = jnp.full_like(ref_min_ref, jnp.inf)
+
+    ref_any_ref[:] = jnp.maximum(
+        ref_any_ref[:], jnp.any(within_cand, axis=1, keepdims=True).astype(jnp.int32)
+    )
+    ref_min_ref[:] = jnp.minimum(ref_min_ref[:], jnp.min(d, axis=1, keepdims=True))
+    del i, n_j
+
+
+def pairwise_stats_pallas(
+    reference: np.ndarray,
+    candidate: np.ndarray,
+    ref_radii: np.ndarray,
+    cand_radii: np.ndarray,
+    interpret: bool = False,
+):
+    """One fused sweep over the ref x cand distances; returns the four PRDC
+    reductions (same contract as metrics/prdc.pairwise_distance_stats)."""
+    ref = np.ascontiguousarray(reference, dtype=np.float32)
+    cand = np.ascontiguousarray(candidate, dtype=np.float32)
+    n_ref, d = ref.shape
+    n_cand = cand.shape[0]
+
+    pad_m = (-n_ref) % _BM
+    pad_n = (-n_cand) % _BN
+    ref_p = np.pad(ref, ((0, pad_m), (0, 0)))
+    cand_p = np.pad(cand, ((0, pad_n), (0, 0)))
+    sq_r = (ref_p.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    sq_c = (cand_p.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    rr = np.full(ref_p.shape[0], -1.0, np.float32)  # padded refs match nothing
+    rr[:n_ref] = ref_radii
+    cr = np.full(cand_p.shape[0], -1.0, np.float32)  # padded cands match nothing
+    cr[:n_cand] = cand_radii
+    # padded cand columns must not pollute ref_min/ref_any
+    sq_c[n_cand:] = np.float32(np.inf)
+
+    n_i = ref_p.shape[0] // _BM
+    n_j = cand_p.shape[0] // _BN
+    grid = (n_i, n_j)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_i, cand_p.shape[0]), jnp.int32),  # cand_any partials
+        jax.ShapeDtypeStruct((n_i, cand_p.shape[0]), jnp.int32),  # cand_count partials
+        jax.ShapeDtypeStruct((ref_p.shape[0], 1), jnp.int32),  # ref_any
+        jax.ShapeDtypeStruct((ref_p.shape[0], 1), jnp.float32),  # ref_min
+    )
+    out_specs = (
+        pl.BlockSpec((1, _BN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _BN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    )
+    cand_any_p, cand_count_p, ref_any, ref_min = pl.pallas_call(
+        _stats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(ref_p, sq_r[:, None], rr[:, None], cand_p, sq_c[None, :], cr[None, :])
+
+    cand_any = np.asarray(jnp.any(cand_any_p > 0, axis=0))[:n_cand]
+    cand_count = np.asarray(jnp.sum(cand_count_p, axis=0))[:n_cand]
+    return (
+        cand_any,
+        cand_count.astype(np.int64),
+        np.asarray(ref_any)[:n_ref, 0] > 0,
+        np.asarray(ref_min)[:n_ref, 0],
+    )

@@ -242,6 +242,20 @@ def _device_resample(audio, sr_orig, sr_new):
     return resample_batch(audio, sr_orig, sr_new)
 
 
+@jax.jit
+def _dequantize_jit(q, scale):
+    return q.astype(jnp.float32) * (scale / 32767.0)
+
+
+def _quantize_host(audio: np.ndarray):
+    """Lossy-but-negligible int16 transfer encoding (~96 dB SNR), halving
+    host->device bytes.  Opt-in via AM_TPU_TRANSFER_INT16=1 — on hosts where
+    PCIe/interconnect to the accelerator is the pipeline bottleneck."""
+    scale = float(max(np.abs(audio).max(), 1e-9))
+    q = np.clip(audio * (32767.0 / scale), -32767, 32767).astype(np.int16)
+    return q, np.float32(scale)
+
+
 # ----------------------------------------------------------------------
 # the pipeline
 # ----------------------------------------------------------------------
@@ -357,8 +371,15 @@ def embedding_pipeline(
         int(c): [] for c in metrics_data if store_flags[ItemCategory(c)]
     }
 
+    transfer_int16 = os.environ.get("AM_TPU_TRANSFER_INT16") == "1"
+
     for kind, audio, category, valid in batches:
-        if batch_sharding_ is not None:
+        if transfer_int16 and isinstance(audio, np.ndarray):
+            q, scale = _quantize_host(audio)
+            if batch_sharding_ is not None:
+                q = jax.device_put(q, batch_sharding_)
+            audio = _dequantize_jit(jnp.asarray(q), scale)
+        elif batch_sharding_ is not None:
             audio = jax.device_put(jnp.asarray(audio), batch_sharding_)
         if need_resample:
             audio = _device_resample(audio, input_sr, embedder.sr)

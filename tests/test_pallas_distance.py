@@ -1,0 +1,37 @@
+"""Pallas distance-reduction kernels vs the XLA reference path (interpret
+mode on CPU; the same kernels compile via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+from audio_metrics_tpu.metrics.prdc import (
+    nearest_neighbour_distances,
+    pairwise_distance_stats,
+)
+from audio_metrics_tpu.ops.distance import knn_radii_pallas, pairwise_stats_pallas
+
+
+@pytest.mark.parametrize("n,k", [(600, 5), (1100, 10), (40, 3)])
+def test_knn_radii_matches_xla(n, k):
+    rng = np.random.default_rng(n)
+    x = rng.normal(size=(n, 24)).astype(np.float32)
+    want = nearest_neighbour_distances(x, k)
+    got = knn_radii_pallas(x, k, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pairwise_stats_matches_xla():
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=(700, 16)).astype(np.float32)
+    cand = rng.normal(loc=0.2, size=(900, 16)).astype(np.float32)
+    k = 4
+    rr = nearest_neighbour_distances(ref, k)
+    cr = nearest_neighbour_distances(cand, k)
+
+    want = pairwise_distance_stats(ref, cand, rr, cr, k)
+    got = pairwise_stats_pallas(ref, cand, rr, cr, interpret=True)
+
+    np.testing.assert_array_equal(got[0], want[0])  # cand_any
+    np.testing.assert_array_equal(got[1], want[1])  # cand_count
+    np.testing.assert_array_equal(got[2], want[2])  # ref_any
+    np.testing.assert_allclose(got[3], want[3], rtol=1e-5, atol=1e-6)  # ref_min
