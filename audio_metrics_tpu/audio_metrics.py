@@ -52,6 +52,7 @@ class AudioMetrics:
         win_dur=5.0,
         input_sr=None,
         batch_size=32,
+        progress=False,
     ):
         self.mesh = self._get_mesh(device_indices)
         self.metrics = metrics
@@ -59,6 +60,7 @@ class AudioMetrics:
         self.win_dur = win_dur
         self.input_sr = input_sr
         self.batch_size = batch_size
+        self.progress = progress
         if n_pca is None:
             self.stem_projection = None
             self.mix_projection = None
@@ -159,6 +161,7 @@ class AudioMetrics:
             win_dur=self.win_dur,
             input_sr=self.input_sr,
             mesh=self.mesh,
+            progress=self.progress,
         )
 
     def add_reference(self, reference) -> None:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .iir import biquad_cascade, k_weighting_coeffs
 
-__all__ = ["integrated_loudness_batch", "k_weighted", "CHANNEL_GAINS"]
+__all__ = ["integrated_loudness_batch", "k_weighted", "Meter", "CHANNEL_GAINS"]
 
 # channel gains [L, R, C, Ls, Rs] (BS.1770 table; mix_functions.py:71)
 CHANNEL_GAINS = np.array([1.0, 1.0, 1.0, 1.41, 1.41])
@@ -119,3 +119,23 @@ def integrated_loudness_batch(audio, sr: int):
 
     z_power = z.reshape(b_sz, n_ch, -1)
     return _gated_loudness(z_power)
+
+
+class Meter:
+    """BS.1770 meter, API-compatible with the reference's pyloudnorm-based
+    ``Meter`` (mix_functions.py:69-206): ``integrated_loudness``,
+    ``integrated_loudness_fast`` and ``integrated_loudness_numba`` all map to
+    the same batched device kernel here."""
+
+    def __init__(self, rate: int):
+        self.rate = int(rate)
+        self.block_size = 0.400
+        self.G = CHANNEL_GAINS
+
+    def integrated_loudness(self, data) -> float:
+        x = np.asarray(data, dtype=np.float64)
+        return float(np.asarray(integrated_loudness_batch(x[None], self.rate))[0])
+
+    # parity aliases (the reference's two optimized variants)
+    integrated_loudness_fast = integrated_loudness
+    integrated_loudness_numba = integrated_loudness

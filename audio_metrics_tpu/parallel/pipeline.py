@@ -276,6 +276,7 @@ def embedding_pipeline(
     input_sr: int | None = None,
     mesh=None,
     use_native: bool | None = None,
+    progress: bool = False,
 ) -> dict:
     """Embed a stream of waveforms and accumulate per-category statistics.
 
@@ -372,6 +373,14 @@ def embedding_pipeline(
     }
 
     transfer_int16 = os.environ.get("AM_TPU_TRANSFER_INT16") == "1"
+
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            batches = tqdm(batches, desc="embedding batches", leave=False, unit="batch")
+        except ImportError:
+            pass
 
     for kind, audio, category, valid in batches:
         if transfer_int16 and isinstance(audio, np.ndarray):

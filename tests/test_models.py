@@ -260,3 +260,64 @@ def test_clap_bf16_close_to_f32():
     # both normalized; cosine similarity must be very high
     cos = np.sum(o32 * o16, axis=1)
     assert np.all(cos > 0.995), cos
+
+
+def test_laion_checkpoint_load_end_to_end(tmp_path, hf_clap, monkeypatch):
+    """Fabricate a LAION-format .pt checkpoint (module.-prefixed, fused qkv)
+    from the HF oracle's weights and load it through the ckpt plumbing."""
+    from audio_metrics_tpu.models.clap import _load_params
+
+    sd = hf_clap.state_dict()
+    laion_sd = {}
+    for k, v in sd.items():
+        if k.startswith("text_model"):
+            continue
+        k = k.replace("audio_model.audio_encoder.", "audio_branch.")
+        k = k.replace("batch_norm.", "bn0.")
+        k = k.replace("layernorm_before.", "norm1.")
+        k = k.replace("layernorm_after.", "norm2.")
+        k = k.replace("intermediate.dense.", "mlp.fc1.")
+        k = k.replace("output.dense.", "mlp.fc2.") if ".attention." not in k else k
+        k = k.replace("attention.output.dense.", "attn.proj.")
+        k = k.replace(
+            "attention.self.relative_position_bias_table",
+            "attn.relative_position_bias_table",
+        )
+        k = k.replace("audio_projection.linear1.", "audio_projection.0.")
+        k = k.replace("audio_projection.linear2.", "audio_projection.2.")
+        laion_sd["module." + k] = v
+    # fuse q/k/v back into qkv like LAION checkpoints
+    fused = {}
+    drop = set()
+    for k in list(laion_sd):
+        if ".attention.self.query." in k:
+            base = k.replace(".attention.self.query.", ".attn.qkv.")
+            kk = k.replace("query", "key")
+            kv = k.replace("query", "value")
+            fused[base] = torch.cat([laion_sd[k], laion_sd[kk], laion_sd[kv]], dim=0)
+            drop.update({k, kk, kv})
+    for k in drop:
+        del laion_sd[k]
+    laion_sd.update(fused)
+
+    fp = tmp_path / "laion_ckpt.pt"
+    torch.save(laion_sd, fp)
+
+    params = _load_params(str(fp))
+    assert params is not None
+    base = "audio_encoder.layers.0.blocks.0"
+    assert f"{base}.attention.self.query.weight" in params
+    assert "audio_projection.linear1.weight" in params
+
+    # loaded params give the same embedding as direct HF conversion
+    cfg = HTSATConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(4, 8, 16, 32))
+    rng = np.random.default_rng(9)
+    audio = (0.1 * rng.normal(size=(1, MAX_SAMPLES // 2))).astype(np.float32)
+    direct = LaionCLAP(params=convert_checkpoint(sd), cfg=cfg)
+    via_ckpt = LaionCLAP(params=params, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(direct.forward({"audio": audio})["embedding"]),
+        np.asarray(via_ckpt.forward({"audio": audio})["embedding"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
