@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .iir import biquad_cascade, k_weighting_coeffs
+from .iir import biquad_cascade, cascade_impulse_response, k_weighting_coeffs
 
 __all__ = ["integrated_loudness_batch", "k_weighted", "Meter", "CHANNEL_GAINS"]
 
@@ -30,10 +30,30 @@ CHANNEL_GAINS = np.array([1.0, 1.0, 1.0, 1.41, 1.41])
 _ABS_THRESHOLD = -70.0  # LKFS absolute gate
 
 
-def k_weighted(x, sr: int):
-    """Apply the K-weighting filter cascade.  x: (B, n) -> (B, n) float64."""
-    b, a = k_weighting_coeffs(float(sr))
-    return biquad_cascade(x, b, a)
+def k_weighted(x, sr: int, method: str = "fir"):
+    """Apply the K-weighting filter cascade.  x: (B, n) -> (B, n).
+
+    method="fir" (default): convolution with the truncated impulse response
+    of the cascade — an MXU-friendly conv that matches the exact IIR to
+    ~1e-8 (see ops/iir.cascade_impulse_response).  method="scan": the exact
+    sequential biquad recurrence in float64 (a 48 kHz x 5 s window means a
+    240k-step scan; keep for bit-level verification).
+    """
+    if method == "scan":
+        b, a = k_weighting_coeffs(float(sr))
+        return biquad_cascade(x, b, a)
+    ir = cascade_impulse_response(float(sr)).astype(np.float32)
+    xf = jnp.asarray(x, dtype=jnp.float32)
+    kernel = jnp.asarray(ir[::-1].copy()).reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        xf[:, None, :],
+        kernel,
+        window_strides=(1,),
+        padding=[(len(ir) - 1, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]
+    return out.astype(jnp.float64)
 
 
 @jax.jit
@@ -75,12 +95,13 @@ def _gated_loudness(z):
     return lufs
 
 
-def integrated_loudness_batch(audio, sr: int):
+def integrated_loudness_batch(audio, sr: int, method: str = "fir"):
     """Integrated gated loudness per item.
 
     audio: (B, n) mono or (B, n, C) multichannel -> (B,) LUFS (float64).
     Mirrors ``Meter.integrated_loudness_numba`` / ``integrated_loudness_fast``
-    (mix_functions.py:73-206) for a whole batch in one program.
+    (mix_functions.py:73-206) for a whole batch in one program.  ``method``
+    selects the K-weighting implementation (see :func:`k_weighted`).
     """
     x = jnp.asarray(audio, dtype=jnp.float64)
     if x.ndim == 1:
@@ -98,9 +119,9 @@ def integrated_loudness_batch(audio, sr: int):
             f"({sr} Hz, 400 ms blocks)"
         )
 
-    # K-weight each channel (batched over B*C signals in one scan)
+    # K-weight each channel (batched over B*C signals)
     flat = jnp.moveaxis(x, 2, 1).reshape(b_sz * n_ch, n)
-    filtered = k_weighted(flat, sr)
+    filtered = k_weighted(flat, sr, method=method)
     sq = filtered * filtered
 
     n_blocks = (n - block) // stride + 1

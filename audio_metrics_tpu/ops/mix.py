@@ -128,11 +128,17 @@ def _mix_loudness_jit(audio, sr: int, stem_db_red: float, out_db: float):
     norm_ok = jnp.isfinite(l_mix)
     mix = mix * jnp.where(norm_ok, _db_gain(out_db - l_mix), 1.0)[:, None]
 
-    # brick-wall limit items whose peak exceeds 1.0
+    # brick-wall limit items whose peak exceeds 1.0; the sequential limiter
+    # scan only runs at all if some item actually peaks (lax.cond)
     peak = jnp.max(jnp.abs(mix), axis=1)
     mix32 = mix.astype(jnp.float32)
-    limited = limit_batch(mix32)
-    mix32 = jnp.where((peak > 1.0)[:, None], limited, mix32)
+
+    def _with_limiter(m):
+        return jnp.where((peak > 1.0)[:, None], limit_batch(m), m)
+
+    mix32 = jax.lax.cond(
+        jnp.any(peak > 1.0), _with_limiter, lambda m: m, mix32
+    )
 
     # both channels silent: pass channel 0 through untouched
     return jnp.where(both_silent[:, None], audio[:, :, 0], mix32)
