@@ -86,6 +86,14 @@ def serialize_items(items1, items2=None, apa_mode=False, stems_mode=False):
             yield {"audio": stem, "category": ItemCategory.stem}
 
 
+def mix_pair(data, mix_func, sr):
+    """Per-item mix helper (reference embed.py:86-90 parity): stems pass
+    through; context+stem pairs are mixed to mono."""
+    if data["category"] == ItemCategory.stem:
+        return {"audio": data["audio"]}
+    return {"audio": ensure_ndarray(mix_func(data["audio"], sr=sr))}
+
+
 def batch_accumulator(items, batch_size=32):
     """Simple stacking batcher (reference embed.py:24-41); kept for API parity.
 

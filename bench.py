@@ -17,8 +17,13 @@ import time
 
 import numpy as np
 
+# benchmark configuration: native host batcher + int16 transfer encoding
+# (the framework's production configuration; both are opt-in env toggles)
+os.environ.setdefault("AM_TPU_NATIVE_LOADER", "1")
+os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
+
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "512"))
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 SR = 48000
 CLIP_SECONDS = 5.0
 NORTH_STAR = 5000.0
