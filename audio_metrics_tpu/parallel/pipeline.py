@@ -239,7 +239,8 @@ def _device_mix(mix_function, audio, sr):
     applied per item on host.
     """
     if getattr(mix_function, "is_batched_mix", False):
-        return np.asarray(mix_function(audio, sr=sr))
+        return mix_function(audio, sr=sr)  # stays on device
+    audio = ensure_ndarray(audio)
     out = [ensure_ndarray(mix_function(a, sr=sr)) for a in audio]
     return np.stack(out).astype(np.float32, copy=False)
 
@@ -319,7 +320,7 @@ def embedding_pipeline(
         batches = _native_batches(
             waveforms,
             batch_size=batch_size,
-            win_len=int(in_sr * win_dur),
+            win_len=window_length(in_sr, win_dur),
             apa_mode=apa_mode,
             stems_mode=stems_mode,
             seed=seed,
