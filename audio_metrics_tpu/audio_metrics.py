@@ -278,7 +278,7 @@ class AudioMetrics:
         if "fad" in self.metrics:
             result["fad"] = frechet_distance(stem_cand, stem_ref)
         if "kd" in self.metrics:
-            result.update(kernel_distance(stem_cand, stem_ref))
+            result.update(kernel_distance(stem_cand, stem_ref, mesh=self.mesh))
         if "prdc" in self.metrics:
             k = max(1, min(10, len(stem_ref), len(stem_cand)))
             result.update(prdc(stem_ref, stem_cand, k))

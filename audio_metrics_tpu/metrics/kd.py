@@ -118,12 +118,15 @@ def _device_mmd2_subsets(
     gamma: float,
     coef0: float,
     sigma: float,
+    mesh=None,
 ) -> np.ndarray:
     """All subset MMD^2 values in one jitted program.
 
     f1: (n1, d), f2: (n2, d); idx_*: (subsets, m) int32.  Gram matrices are
     f32 MXU matmuls; sums are accumulated in f64 to keep the unbiased
-    estimator stable for large m.
+    estimator stable for large m.  With a mesh, the subset axis shards over
+    the chips via shard_map (features replicated; each chip runs its share
+    of the subset loop).
     """
     import jax
     import jax.numpy as jnp
@@ -159,6 +162,42 @@ def _device_mmd2_subsets(
         k_xy_sum = jnp.sum(k_xy, dtype=jnp.float64)
         val = (kt_xx + kt_yy) / (m * (m - 1)) - 2.0 * k_xy_sum / (m * m)
         return val
+
+    n_subsets = idx_1.shape[0]
+    if mesh is not None and mesh.size > 1 and n_subsets % mesh.size == 0:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        axis = mesh.axis_names[0]
+
+        def local(f1_loc, f2_loc, i1_loc, i2_loc):
+            def one(idx_pair):
+                ia, ib = idx_pair
+                a = jnp.take(f1_loc, ia, axis=0)
+                b = jnp.take(f2_loc, ib, axis=0)
+                k_xx, k_yy, k_xy = gram(a, a), gram(b, b), gram(a, b)
+                diag_x = jnp.diagonal(k_xx)
+                diag_y = jnp.diagonal(k_yy)
+                kt_xx = jnp.sum(k_xx, dtype=jnp.float64) - jnp.sum(
+                    diag_x, dtype=jnp.float64
+                )
+                kt_yy = jnp.sum(k_yy, dtype=jnp.float64) - jnp.sum(
+                    diag_y, dtype=jnp.float64
+                )
+                k_xy_sum = jnp.sum(k_xy, dtype=jnp.float64)
+                return (kt_xx + kt_yy) / (m * (m - 1)) - 2.0 * k_xy_sum / (m * m)
+
+            return jax.lax.map(one, (i1_loc, i2_loc))
+
+        run = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis)),
+                out_specs=P(axis),
+            )
+        )
+        return np.asarray(jax.device_get(run(f1, f2, i1, i2)))
 
     @jax.jit
     def run(i1, i2):
@@ -226,6 +265,7 @@ def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
         gamma=float(gamma),
         coef0=float(coef0),
         sigma=float(sigma),
+        mesh=kwargs.get("mesh"),
     )
 
     return {

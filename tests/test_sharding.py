@@ -123,3 +123,22 @@ def test_batch_size_rounded_to_mesh():
     am.add_reference(rng.random((12, 5 * sr)))
     out = am.evaluate(rng.random((12, 5 * sr)))
     assert np.isfinite(out["fad"])
+
+
+@requires_8_devices
+def test_kd_sharded_matches_single():
+    from audio_metrics_tpu.metrics.kd import kid_features_to_metric
+
+    rng = np.random.default_rng(3)
+    f1 = rng.normal(size=(400, 24)).astype(np.float32)
+    f2 = rng.normal(loc=0.1, size=(380, 24)).astype(np.float32)
+    mesh = make_mesh()
+    kwargs = dict(kid_subsets=16, kid_subset_size=128)
+    want = kid_features_to_metric(f1, f2, **kwargs)
+    got = kid_features_to_metric(f1, f2, mesh=mesh, **kwargs)
+    np.testing.assert_allclose(
+        got["kernel_distance_mean"], want["kernel_distance_mean"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        got["kernel_distance_std"], want["kernel_distance_std"], rtol=1e-5
+    )
