@@ -183,6 +183,36 @@ def _native_batches(
         raise errors[0]
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _slice_batch_jit(windows, start, size: int):
+    return jax.lax.dynamic_slice_in_dim(windows, start, size, axis=0)
+
+
+def _device_array_batches(windows, win_len, batch_size):
+    """Batches from a device-resident input: (N, n_samples) jax array of mono
+    stems.  Slicing/reshaping happens on device — nothing round-trips to
+    host, so a pipeline fed with device-resident audio (e.g. the output of a
+    generative model under evaluation) streams at HBM speed.
+    """
+    n_per_item = windows.shape[1] // win_len
+    if n_per_item < 1:
+        return
+    if windows.shape[1] != win_len:
+        windows = windows[:, : n_per_item * win_len].reshape(-1, win_len)
+    n = windows.shape[0]
+    pad = (-n) % batch_size
+    if pad:
+        windows = jnp.pad(windows, ((0, pad), (0, 0)))
+    category_full = np.full(batch_size, int(ItemCategory.stem), np.int32)
+    for start in range(0, n, batch_size):
+        m = min(batch_size, n - start)
+        audio = _slice_batch_jit(windows, start, batch_size)
+        valid = np.zeros(batch_size, bool)
+        valid[:m] = True
+        category = np.where(valid, category_full, 0).astype(np.int32)
+        yield "mono", audio, category, valid
+
+
 # ----------------------------------------------------------------------
 # device-side stages
 # ----------------------------------------------------------------------
@@ -316,7 +346,18 @@ def embedding_pipeline(
 
         use_native = native_available()
 
-    if use_native:
+    device_resident = (
+        isinstance(waveforms, jax.Array)
+        and waveforms.ndim == 2
+        and apa_mode is None
+        and stems_mode
+        and not need_resample
+    )
+    if device_resident:
+        batches = _device_array_batches(
+            waveforms, window_length(in_sr, win_dur), batch_size
+        )
+    elif use_native:
         batches = _native_batches(
             waveforms,
             batch_size=batch_size,

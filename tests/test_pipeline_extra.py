@@ -31,3 +31,47 @@ def test_int16_transfer_close_to_f32(monkeypatch):
     assert a.n == b.n
     np.testing.assert_allclose(a.mean, b.mean, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(a.cov, b.cov, rtol=1e-2, atol=1e-3)
+
+
+def test_device_resident_input_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    sr = 16000
+    data = (0.4 * rng.normal(size=(13, 5 * sr))).astype(np.float32)
+    kwargs = dict(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        stems_mode=True,
+        store_stem_embeddings=True,
+        batch_size=8,
+    )
+    r_host = embedding_pipeline(data, **kwargs)
+    r_dev = embedding_pipeline(jnp.asarray(data), **kwargs)
+    a, b = r_host[ItemCategory.stem], r_dev[ItemCategory.stem]
+    assert a.n == b.n == 13
+    np.testing.assert_allclose(a.mean, b.mean, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(a.cov, b.cov, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(a.embeddings, b.embeddings, rtol=1e-6)
+
+
+def test_device_resident_multiwindow_items():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    sr = 16000
+    # 11 songs x 12.5 s -> 2 windows each (trailing half dropped)
+    data = (0.4 * rng.normal(size=(11, int(12.5 * sr)))).astype(np.float32)
+    kwargs = dict(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        stems_mode=True,
+        store_stem_embeddings=False,
+        batch_size=16,
+    )
+    r_host = embedding_pipeline(data, **kwargs)
+    r_dev = embedding_pipeline(jnp.asarray(data), **kwargs)
+    assert r_host[ItemCategory.stem].n == r_dev[ItemCategory.stem].n == 22
+    np.testing.assert_allclose(
+        r_host[ItemCategory.stem].mean, r_dev[ItemCategory.stem].mean, rtol=1e-6
+    )
