@@ -281,7 +281,7 @@ class AudioMetrics:
             result.update(kernel_distance(stem_cand, stem_ref, mesh=self.mesh))
         if "prdc" in self.metrics:
             k = max(1, min(10, len(stem_ref), len(stem_cand)))
-            result.update(prdc(stem_ref, stem_cand, k))
+            result.update(prdc(stem_ref, stem_cand, k, mesh=self.mesh))
         if self.need_apa:
             result["apa"] = apa(apa_cand, apa_ref, apa_anti_ref, self.apa_d_x_xp)
         return result

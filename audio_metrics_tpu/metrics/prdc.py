@@ -65,12 +65,13 @@ def _sq_dists(a, b):
     return jnp.maximum(sq_a + sq_b - 2.0 * dots, 0.0)
 
 
-def nearest_neighbour_distances(input_features, nearest_k: int) -> np.ndarray:
+def nearest_neighbour_distances(input_features, nearest_k: int, mesh=None) -> np.ndarray:
     """Distance to the k-th nearest neighbour of each row (prdc.py:4-15).
 
     Like the reference (``kthvalue(k+1)`` over a cdist row, which includes the
     zero self-distance), the self-distance is included, so we take the
-    (k+1)-smallest entry per row.
+    (k+1)-smallest entry per row.  With a mesh, query rows shard over the
+    chips (the neighbour set is replicated) via shard_map.
     """
     import jax
     import jax.numpy as jnp
@@ -78,6 +79,34 @@ def nearest_neighbour_distances(input_features, nearest_k: int) -> np.ndarray:
     x = np.ascontiguousarray(ensure_ndarray(input_features), dtype=np.float32)
     n = x.shape[0]
     k = min(nearest_k + 1, n)
+
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        block = _BLOCK * mesh.size
+        xp, n_orig = _pad_rows(x, block)
+        axis = mesh.axis_names[0]
+
+        def local(rows, full):
+            n_tiles = rows.shape[0] // _BLOCK
+
+            def tile(i):
+                r = jax.lax.dynamic_slice_in_dim(rows, i * _BLOCK, _BLOCK, axis=0)
+                d2 = _sq_dists(r, full)
+                neg_top, _ = jax.lax.top_k(-d2, k)
+                return jnp.sqrt(jnp.maximum(-neg_top[:, -1], 0.0))
+
+            return jax.lax.map(tile, jnp.arange(n_tiles)).reshape(-1, 1)
+
+        run = jax.jit(
+            shard_map(
+                local, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis)
+            )
+        )
+        radii = np.asarray(jax.device_get(run(jnp.asarray(xp), jnp.asarray(x))))
+        return radii[:n_orig, 0]
+
     if _try_pallas():
         from ..ops.distance import knn_radii_pallas
 
@@ -182,12 +211,22 @@ def pairwise_distance_stats(
     )
 
 
-def prdc(reference, candidate, nearest_k: int) -> dict:
+def prdc(reference, candidate, nearest_k: int, mesh=None) -> dict:
     """Precision, recall, density, coverage of candidate vs reference manifolds.
 
     ``reference`` / ``candidate`` are :class:`AudioMetricsData` instances with
-    stored embeddings (mirrors reference prdc.py:18-50).
+    stored embeddings (mirrors reference prdc.py:18-50).  ``mesh`` shards the
+    k-NN radius computation over chips (the radii are the dominant N^2 cost;
+    they are also cached per k on the AudioMetricsData).
     """
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        # compute (and cache) radii with the sharded path
+        for amd in (reference, candidate):
+            key = f"radii_{nearest_k}"
+            if amd.radii.get(key) is None and amd.embeddings is not None:
+                amd.radii[key] = nearest_neighbour_distances(
+                    amd.embeddings, nearest_k, mesh=mesh
+                )
     ref_radii = ensure_ndarray(reference.get_radii(nearest_k))
     cand_radii = ensure_ndarray(candidate.get_radii(nearest_k))
     ref_emb = ensure_ndarray(reference.embeddings)

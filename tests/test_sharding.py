@@ -142,3 +142,15 @@ def test_kd_sharded_matches_single():
     np.testing.assert_allclose(
         got["kernel_distance_std"], want["kernel_distance_std"], rtol=1e-5
     )
+
+
+@requires_8_devices
+def test_prdc_radii_sharded_matches_single():
+    from audio_metrics_tpu.metrics.prdc import nearest_neighbour_distances
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(500, 16)).astype(np.float32)
+    mesh = make_mesh()
+    want = nearest_neighbour_distances(x, 5)
+    got = nearest_neighbour_distances(x, 5, mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
