@@ -183,3 +183,34 @@ def test_unknown_registry_names():
         AudioMetrics(embedder="nope", mix_function=mix_func)
     with pytest.raises(ValueError):
         AudioMetrics(embedder=DummyEmbedder(), mix_function="nope")
+
+
+def test_serialization_with_embeddings_metrics(tmp_path):
+    # kd/prdc persist raw embeddings + cached radii through save/load
+    kwargs = dict(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        metrics=["fad", "kd", "prdc"],
+    )
+    am = AudioMetrics(**kwargs)
+    rng = np.random.default_rng(20)
+    am.add_reference(rng.random((25, N_SECONDS * SR)))
+    cand = rng.random((25, N_SECONDS * SR))
+    r1 = am.evaluate(cand)
+
+    fp = tmp_path / "state.npz"
+    am.save_state(fp)
+    am2 = AudioMetrics(**kwargs)
+    am2.load_state(fp)
+    r2 = am2.evaluate(cand)
+    for k, v in r1.items():
+        assert v == pytest.approx(r2[k], rel=1e-6, abs=1e-6)
+
+
+def test_repeated_evaluate_is_deterministic(am_no_apa):
+    rng = np.random.default_rng(21)
+    am_no_apa.add_reference(rng.random((15, N_SECONDS * SR)))
+    cand = rng.random((15, N_SECONDS * SR))
+    r1 = am_no_apa.evaluate(cand)
+    r2 = am_no_apa.evaluate(cand)  # PCA cache path on the second call
+    assert r1 == r2
