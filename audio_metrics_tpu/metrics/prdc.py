@@ -28,16 +28,19 @@ logger = logging.getLogger(__name__)
 
 
 def _try_pallas() -> bool:
-    """Use the fused Pallas kernels on TPU (HBM never sees the distance
-    matrix); fall back to the blocked XLA path elsewhere or on lowering
-    failure.  Disable explicitly with AM_TPU_NO_PALLAS=1."""
+    """Use the fused Pallas kernels (HBM never sees the distance matrix);
+    opt-in via AM_TPU_PALLAS=1 while Mosaic lowering of the k-smallest merge
+    is being stabilized — the blocked XLA path is the default."""
     global _pallas_ok
     if os.environ.get("AM_TPU_NO_PALLAS"):
         return False
     if _pallas_ok is None:
         import jax
 
-        _pallas_ok = jax.default_backend() == "tpu"
+        _pallas_ok = (
+            os.environ.get("AM_TPU_PALLAS") == "1"
+            and jax.default_backend() == "tpu"
+        )
     return _pallas_ok
 
 

@@ -51,7 +51,29 @@ def _sq_dist_tile(a, sq_a, b, sq_b):
 # ----------------------------------------------------------------------
 # k-NN radii
 # ----------------------------------------------------------------------
+def _k_smallest(values, k: int):
+    """Per-row k smallest values, ascending.  Mosaic-lowerable (no top_k,
+    all-f32 arithmetic): k passes of min-extraction, excluding exactly one
+    instance per pass via an iota-index tiebreak, so duplicates behave like
+    a real sort."""
+    bm, width = values.shape
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (bm, width), 1).astype(jnp.float32)
+    excluded = jnp.zeros((bm, width), dtype=jnp.float32)
+    out = []
+    for _ in range(k):
+        masked = jnp.where(excluded > 0.5, jnp.inf, values)
+        m = jnp.min(masked, axis=1, keepdims=True)
+        sel = jnp.where(masked == m, col_idx, jnp.float32(width))
+        first = jnp.min(sel, axis=1, keepdims=True)
+        excluded = jnp.maximum(
+            excluded, jnp.where(col_idx == first, 1.0, 0.0)
+        )
+        out.append(m)
+    return jnp.concatenate(out, axis=1)
+
+
 def _knn_kernel(k: int, x_ref, sq_ref, xt_all_ref, sq_all_ref, out_ref, topk_ref):
+    """topk_ref is a (bm, 128) lane-aligned scratch; slots >= k stay +inf."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -62,8 +84,11 @@ def _knn_kernel(k: int, x_ref, sq_ref, xt_all_ref, sq_all_ref, out_ref, topk_ref
     d2 = _sq_dist_tile(x_ref[:], sq_ref[:], xt_all_ref[:], sq_all_ref[:])
     # merge this tile into the running per-row k-smallest
     merged = jnp.concatenate([topk_ref[:], d2], axis=1)
-    neg_top, _ = jax.lax.top_k(-merged, k)
-    topk_ref[:] = -neg_top
+    smallest = _k_smallest(merged, k)
+    pad = topk_ref.shape[1] - k
+    topk_ref[:] = jnp.concatenate(
+        [smallest, jnp.full((smallest.shape[0], pad), jnp.inf, jnp.float32)], axis=1
+    )
 
     @pl.when(j == n_j - 1)
     def _():
@@ -99,7 +124,7 @@ def knn_radii_pallas(x: np.ndarray, nearest_k: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((xq.shape[0], 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_BM, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_BM, 128), jnp.float32)],
         interpret=interpret,
     )(xq, sq_q[:, None], xn, sq_n[None, :])
     return np.asarray(out)[:n, 0]
