@@ -23,6 +23,7 @@ in metrics/prdc.py remain as the fallback path.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import numpy as np
@@ -32,6 +33,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["knn_radii_pallas", "pairwise_stats_pallas"]
+
+
+def _x32_scope():
+    """The kernels are pure f32/i32; with global x64 enabled, literal grid
+    indices otherwise trace as i64, which Mosaic refuses to legalize."""
+    if hasattr(jax, "enable_x64"):  # jax >= 0.9
+        return jax.enable_x64(False)
+    try:
+        return jax.experimental.disable_x64()
+    except AttributeError:
+        return contextlib.nullcontext()
 
 _BM = 512  # query rows per tile
 _BN = 1024  # neighbour columns per tile
@@ -45,7 +57,9 @@ def _sq_dist_tile(a, sq_a, b, sq_b):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return jnp.maximum(sq_a + sq_b - 2.0 * dots, 0.0)
+    two = jnp.float32(2.0)
+    zero = jnp.float32(0.0)
+    return jnp.maximum(sq_a + sq_b - two * dots, zero)
 
 
 # ----------------------------------------------------------------------
@@ -61,12 +75,12 @@ def _k_smallest(values, k: int):
     excluded = jnp.zeros((bm, width), dtype=jnp.float32)
     out = []
     for _ in range(k):
-        masked = jnp.where(excluded > 0.5, jnp.inf, values)
+        masked = jnp.where(excluded > jnp.float32(0.5), jnp.float32(jnp.inf), values)
         m = jnp.min(masked, axis=1, keepdims=True)
         sel = jnp.where(masked == m, col_idx, jnp.float32(width))
         first = jnp.min(sel, axis=1, keepdims=True)
         excluded = jnp.maximum(
-            excluded, jnp.where(col_idx == first, 1.0, 0.0)
+            excluded, jnp.where(col_idx == first, jnp.float32(1.0), jnp.float32(0.0))
         )
         out.append(m)
     return jnp.concatenate(out, axis=1)
@@ -92,7 +106,27 @@ def _knn_kernel(k: int, x_ref, sq_ref, xt_all_ref, sq_all_ref, out_ref, topk_ref
 
     @pl.when(j == n_j - 1)
     def _():
-        out_ref[:] = jnp.sqrt(jnp.maximum(topk_ref[:, k - 1 : k], 0.0))
+        out_ref[:] = jnp.sqrt(jnp.maximum(topk_ref[:, k - 1 : k], jnp.float32(0.0)))
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _knn_call(xq, sq_q, xn, sq_n, k: int, interpret: bool):
+    d = xq.shape[1]
+    grid = (xq.shape[0] // _BM, xn.shape[0] // _BN)
+    return pl.pallas_call(
+        partial(_knn_kernel, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xq.shape[0], 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BM, 128), jnp.float32)],
+        interpret=interpret,
+    )(xq, sq_q, xn, sq_n)
 
 
 def knn_radii_pallas(x: np.ndarray, nearest_k: int, interpret: bool = False):
@@ -111,54 +145,26 @@ def knn_radii_pallas(x: np.ndarray, nearest_k: int, interpret: bool = False):
     # padded neighbour rows must never win: infinite squared distance
     sq_n[n:] = np.float32(np.inf)
 
-    grid = (xq.shape[0] // _BM, xn.shape[0] // _BN)
-
-    out = pl.pallas_call(
-        partial(_knn_kernel, k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BN, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xq.shape[0], 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_BM, 128), jnp.float32)],
-        interpret=interpret,
-    )(xq, sq_q[:, None], xn, sq_n[None, :])
+    with _x32_scope():
+        out = _knn_call(xq, sq_q[:, None], xn, sq_n[None, :], k, interpret)
     return np.asarray(out)[:n, 0]
 
 
 # ----------------------------------------------------------------------
 # PRDC pairwise stats
 # ----------------------------------------------------------------------
-def _stats_kernel(
-    ref_ref,
-    sq_ref,
-    rr_ref,
-    cand_ref,
-    sq_cand_ref,
-    cr_ref,
-    cand_any_ref,
-    cand_count_ref,
-    ref_any_ref,
-    ref_min_ref,
+def _ref_stats_kernel(
+    ref_ref, sq_ref, cand_ref, sq_cand_ref, cr_ref, ref_any_ref, ref_min_ref
 ):
-    i = pl.program_id(0)
+    """Grid (i, j), j fastest: per-ref-row reductions over all candidates.
+    Output blocks are indexed by i only, so they are revisited across
+    consecutive j steps — the legal Pallas accumulation pattern."""
     j = pl.program_id(1)
-    n_j = pl.num_programs(1)
 
     d2 = _sq_dist_tile(ref_ref[:], sq_ref[:], cand_ref[:], sq_cand_ref[:])
     d = jnp.sqrt(d2)
-    within_ref = d < rr_ref[:]  # (bm, bn): cand j inside ref i's ball
     within_cand = d < cr_ref[:]  # (bm, bn): ref i inside cand j's ball
 
-    # cand-indexed partials: each (i, j) step owns its own output slice
-    cand_any_ref[:] = jnp.any(within_ref, axis=0, keepdims=True).astype(jnp.int32)
-    cand_count_ref[:] = jnp.sum(within_ref, axis=0, keepdims=True, dtype=jnp.int32)
-
-    # ref-indexed accumulators: same block revisited across consecutive j
     @pl.when(j == 0)
     def _():
         ref_any_ref[:] = jnp.zeros_like(ref_any_ref)
@@ -168,7 +174,85 @@ def _stats_kernel(
         ref_any_ref[:], jnp.any(within_cand, axis=1, keepdims=True).astype(jnp.int32)
     )
     ref_min_ref[:] = jnp.minimum(ref_min_ref[:], jnp.min(d, axis=1, keepdims=True))
-    del i, n_j
+
+
+def _cand_stats_kernel(
+    cand_ref, sq_cand_ref, ref_ref, sq_ref, rr_ref, cand_any_ref, cand_count_ref
+):
+    """Grid (j, i), i fastest: per-candidate reductions over all references
+    (precision / density numerators), same accumulation pattern transposed."""
+    i = pl.program_id(1)
+
+    # distances from this candidate tile (rows) to this reference tile (cols)
+    d2 = _sq_dist_tile(cand_ref[:], sq_cand_ref[:], ref_ref[:], sq_ref[:])
+    d = jnp.sqrt(d2)
+    within_ref = d < rr_ref[:]  # (bn_cand, bm_ref): cand inside ref's ball
+
+    @pl.when(i == 0)
+    def _():
+        cand_any_ref[:] = jnp.zeros_like(cand_any_ref)
+        cand_count_ref[:] = jnp.zeros_like(cand_count_ref)
+
+    cand_any_ref[:] = jnp.maximum(
+        cand_any_ref[:], jnp.any(within_ref, axis=1, keepdims=True).astype(jnp.int32)
+    )
+    cand_count_ref[:] = cand_count_ref[:] + jnp.sum(
+        within_ref, axis=1, keepdims=True, dtype=jnp.int32
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _ref_stats_call(ref_p, sq_r, cand_p, sq_c_cols, cr, interpret: bool):
+    d = ref_p.shape[1]
+    n_i = ref_p.shape[0] // _BM
+    n_j = cand_p.shape[0] // _BN
+    return pl.pallas_call(
+        _ref_stats_kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ref_p.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((ref_p.shape[0], 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ref_p, sq_r, cand_p, sq_c_cols, cr)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _cand_stats_call(cand_p, sq_c, ref_p, sq_r_cols, rr, interpret: bool):
+    d = ref_p.shape[1]
+    n_i = ref_p.shape[0] // _BM
+    n_j = cand_p.shape[0] // _BN
+    return pl.pallas_call(
+        _cand_stats_kernel,
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec((_BN, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BM), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BM), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BN, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cand_p.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((cand_p.shape[0], 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(cand_p, sq_c, ref_p, sq_r_cols, rr)
 
 
 def pairwise_stats_pallas(
@@ -200,41 +284,25 @@ def pairwise_stats_pallas(
 
     n_i = ref_p.shape[0] // _BM
     n_j = cand_p.shape[0] // _BN
-    grid = (n_i, n_j)
+    # padded ref columns must not pollute cand-side mins/any; padded cand
+    # columns must not pollute ref_min/ref_any
+    sq_r_cols = sq_r.copy()
+    sq_r_cols[n_ref:] = np.float32(np.inf)
+    sq_c_cols = sq_c.copy()
+    sq_c_cols[n_cand:] = np.float32(np.inf)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((n_i, cand_p.shape[0]), jnp.int32),  # cand_any partials
-        jax.ShapeDtypeStruct((n_i, cand_p.shape[0]), jnp.int32),  # cand_count partials
-        jax.ShapeDtypeStruct((ref_p.shape[0], 1), jnp.int32),  # ref_any
-        jax.ShapeDtypeStruct((ref_p.shape[0], 1), jnp.float32),  # ref_min
-    )
-    out_specs = (
-        pl.BlockSpec((1, _BN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, _BN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-    )
-    cand_any_p, cand_count_p, ref_any, ref_min = pl.pallas_call(
-        _stats_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BN, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(ref_p, sq_r[:, None], rr[:, None], cand_p, sq_c[None, :], cr[None, :])
+    with _x32_scope():
+        ref_any, ref_min = _ref_stats_call(
+            ref_p, sq_r[:, None], cand_p, sq_c_cols[None, :], cr[None, :], interpret
+        )
 
-    cand_any = np.asarray(jnp.any(cand_any_p > 0, axis=0))[:n_cand]
-    cand_count = np.asarray(jnp.sum(cand_count_p, axis=0))[:n_cand]
+        cand_any_p, cand_count_p = _cand_stats_call(
+            cand_p, sq_c[:, None], ref_p, sq_r_cols[None, :], rr[None, :], interpret
+        )
+
     return (
-        cand_any,
-        cand_count.astype(np.int64),
+        np.asarray(cand_any_p)[:n_cand, 0] > 0,
+        np.asarray(cand_count_p)[:n_cand, 0].astype(np.int64),
         np.asarray(ref_any)[:n_ref, 0] > 0,
         np.asarray(ref_min)[:n_ref, 0],
     )
