@@ -58,9 +58,11 @@ def main():
     candidate = 0.2 * jax.random.normal(k2, (N_CLIPS, n), jnp.float32)
     jax.block_until_ready((reference, candidate))
 
-    # warmup: compile embed/moment/metric programs
+    # warmup: compile embed/moment programs AND the metric programs (KD
+    # subset loop, PRDC kernels, FAD) via one full add_reference + evaluate
     t0 = time.perf_counter()
-    am.add_reference(reference[: BATCH_SIZE + 1])
+    am.add_reference(reference)
+    am.evaluate(candidate)
     warmup_s = time.perf_counter() - t0
     am.reset_reference()
 
