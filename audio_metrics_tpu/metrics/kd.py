@@ -108,6 +108,83 @@ def mmd2(K_XX, K_XY, K_YY, unit_diagonal=False, mmd_est="unbiased"):
 # ----------------------------------------------------------------------
 # device path
 # ----------------------------------------------------------------------
+def _kd_gram(a, b, kernel_type, degree, gamma, coef0, sigma):
+    import jax.numpy as jnp
+
+    if kernel_type == "polynomial":
+        k = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        return (k * gamma + coef0) ** degree
+    # rbf
+    sq_a = jnp.sum(a * a, axis=1)[:, None]
+    sq_b = jnp.sum(b * b, axis=1)[None, :]
+    dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    sq = jnp.maximum(sq_a + sq_b - 2.0 * dots, 0.0)
+    return jnp.exp(-sq / (2.0 * sigma**2))
+
+
+def _kd_one_subset(f1, f2, idx_pair, kparams):
+    """Per-subset f32 row sums + diagonals; the f64 final reductions run on
+    host (numpy) — emulated f64 on TPU is orders of magnitude slower, and
+    f32 tree-reduced row sums lose nothing over m entries."""
+    import jax.numpy as jnp
+
+    ia, ib = idx_pair
+    a = jnp.take(f1, ia, axis=0)
+    b = jnp.take(f2, ib, axis=0)
+    k_xx = _kd_gram(a, a, *kparams)
+    k_yy = _kd_gram(b, b, *kparams)
+    k_xy = _kd_gram(a, b, *kparams)
+    return (
+        jnp.sum(k_xx, axis=1),
+        jnp.diagonal(k_xx),
+        jnp.sum(k_yy, axis=1),
+        jnp.diagonal(k_yy),
+        jnp.sum(k_xy, axis=1),
+    )
+
+
+def _kd_rows_jit():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("kparams", "chunk"))
+    def run(f1, f2, i1, i2, kparams, chunk):
+        s = i1.shape[0]
+        n_chunks = -(-s // chunk)
+        pad = n_chunks * chunk - s
+        if pad:
+            i1 = jnp.concatenate([i1, i1[:pad]], axis=0)
+            i2 = jnp.concatenate([i2, i2[:pad]], axis=0)
+        i1c = i1.reshape(n_chunks, chunk, -1)
+        i2c = i2.reshape(n_chunks, chunk, -1)
+        one = lambda pair: _kd_one_subset(f1, f2, pair, kparams)
+        # chunked vmap: enough subsets in flight to keep the MXU busy
+        # without materializing all S Gram matrices at once
+        rows = jax.lax.map(jax.vmap(one), (i1c, i2c))
+        return tuple(r.reshape(-1, r.shape[-1])[:s] for r in rows)
+
+    return run
+
+
+_kd_rows = None
+
+
+def _get_kd_rows():
+    global _kd_rows
+    if _kd_rows is None:
+        _kd_rows = _kd_rows_jit()
+    return _kd_rows
+
+
+def _host_mmd2(rows, m):
+    rs_xx, d_x, rs_yy, d_y, rs_xy = (np.asarray(r, dtype=np.float64) for r in rows)
+    kt_xx = rs_xx.sum(axis=-1) - d_x.sum(axis=-1)
+    kt_yy = rs_yy.sum(axis=-1) - d_y.sum(axis=-1)
+    k_xy_sum = rs_xy.sum(axis=-1)
+    return (kt_xx + kt_yy) / (m * (m - 1)) - 2.0 * k_xy_sum / (m * m)
+
+
 def _device_mmd2_subsets(
     features_1: np.ndarray,
     features_2: np.ndarray,
@@ -120,13 +197,10 @@ def _device_mmd2_subsets(
     sigma: float,
     mesh=None,
 ) -> np.ndarray:
-    """All subset MMD^2 values in one jitted program.
-
-    f1: (n1, d), f2: (n2, d); idx_*: (subsets, m) int32.  Gram matrices are
-    f32 MXU matmuls; sums are accumulated in f64 to keep the unbiased
-    estimator stable for large m.  With a mesh, the subset axis shards over
-    the chips via shard_map (features replicated; each chip runs its share
-    of the subset loop).
+    """All subset MMD^2 row sums in one jitted program (compiled once per
+    shape/kernel config), f64 finals on host.  With a mesh, the subset axis
+    shards over the chips via shard_map (features replicated; each chip runs
+    its share of the subset loop).
     """
     import jax
     import jax.numpy as jnp
@@ -136,32 +210,10 @@ def _device_mmd2_subsets(
     i1 = jnp.asarray(idx_1, dtype=jnp.int32)
     i2 = jnp.asarray(idx_2, dtype=jnp.int32)
     m = idx_1.shape[1]
+    kparams = (kernel_type, degree, gamma, coef0, sigma)
 
-    def gram(a, b):
-        if kernel_type == "polynomial":
-            k = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-            return (k * gamma + coef0) ** degree
-        # rbf
-        sq_a = jnp.sum(a * a, axis=1)[:, None]
-        sq_b = jnp.sum(b * b, axis=1)[None, :]
-        dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-        sq = jnp.maximum(sq_a + sq_b - 2.0 * dots, 0.0)
-        return jnp.exp(-sq / (2.0 * sigma**2))
-
-    def one_subset(idx_pair):
-        ia, ib = idx_pair
-        a = jnp.take(f1, ia, axis=0)
-        b = jnp.take(f2, ib, axis=0)
-        k_xx = gram(a, a)
-        k_yy = gram(b, b)
-        k_xy = gram(a, b)
-        diag_x = jnp.diagonal(k_xx)
-        diag_y = jnp.diagonal(k_yy)
-        kt_xx = jnp.sum(k_xx, dtype=jnp.float64) - jnp.sum(diag_x, dtype=jnp.float64)
-        kt_yy = jnp.sum(k_yy, dtype=jnp.float64) - jnp.sum(diag_y, dtype=jnp.float64)
-        k_xy_sum = jnp.sum(k_xy, dtype=jnp.float64)
-        val = (kt_xx + kt_yy) / (m * (m - 1)) - 2.0 * k_xy_sum / (m * m)
-        return val
+    mem_per_subset = 3 * m * m * 4
+    chunk = max(1, min(idx_1.shape[0], (128 << 20) // max(mem_per_subset, 1)))
 
     n_subsets = idx_1.shape[0]
     if mesh is not None and mesh.size > 1 and n_subsets % mesh.size == 0:
@@ -171,22 +223,7 @@ def _device_mmd2_subsets(
         axis = mesh.axis_names[0]
 
         def local(f1_loc, f2_loc, i1_loc, i2_loc):
-            def one(idx_pair):
-                ia, ib = idx_pair
-                a = jnp.take(f1_loc, ia, axis=0)
-                b = jnp.take(f2_loc, ib, axis=0)
-                k_xx, k_yy, k_xy = gram(a, a), gram(b, b), gram(a, b)
-                diag_x = jnp.diagonal(k_xx)
-                diag_y = jnp.diagonal(k_yy)
-                kt_xx = jnp.sum(k_xx, dtype=jnp.float64) - jnp.sum(
-                    diag_x, dtype=jnp.float64
-                )
-                kt_yy = jnp.sum(k_yy, dtype=jnp.float64) - jnp.sum(
-                    diag_y, dtype=jnp.float64
-                )
-                k_xy_sum = jnp.sum(k_xy, dtype=jnp.float64)
-                return (kt_xx + kt_yy) / (m * (m - 1)) - 2.0 * k_xy_sum / (m * m)
-
+            one = lambda pair: _kd_one_subset(f1_loc, f2_loc, pair, kparams)
             return jax.lax.map(one, (i1_loc, i2_loc))
 
         run = jax.jit(
@@ -194,16 +231,13 @@ def _device_mmd2_subsets(
                 local,
                 mesh=mesh,
                 in_specs=(P(), P(), P(axis), P(axis)),
-                out_specs=P(axis),
+                out_specs=(P(axis),) * 5,
             )
         )
-        return np.asarray(jax.device_get(run(f1, f2, i1, i2)))
+        return _host_mmd2(jax.device_get(run(f1, f2, i1, i2)), m)
 
-    @jax.jit
-    def run(i1, i2):
-        return jax.lax.map(one_subset, (i1, i2))
-
-    return np.asarray(jax.device_get(run(i1, i2)))
+    run = _get_kd_rows()
+    return _host_mmd2(jax.device_get(run(f1, f2, i1, i2, kparams, chunk)), m)
 
 
 def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:

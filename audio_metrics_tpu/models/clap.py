@@ -61,7 +61,7 @@ _FMIN, _FMAX = 50, 14000
 PROJECTION_DIM = 512
 
 
-def clap_mel(audio):
+def clap_mel(audio, compute_dtype=None):
     """(B, n) @48k -> (B, n//480 + 1, 64) log-mel, laion non-fusion convention."""
     return log_mel_spectrogram(
         audio,
@@ -77,6 +77,7 @@ def clap_mel(audio):
         mel_norm="slaney",
         mel_scale="slaney",
         log_mode="db",
+        compute_dtype=compute_dtype,
     )
 
 
@@ -95,7 +96,7 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
         pad = MAX_SAMPLES - audio.shape[1]
         if pad:
             audio = jnp.pad(audio, ((0, 0), (0, pad)))
-    mel = clap_mel(audio)
+    mel = clap_mel(audio, compute_dtype)
     latent = htsat_encode(params, mel, cfg, compute_dtype=compute_dtype)
     l1 = (
         jnp.dot(

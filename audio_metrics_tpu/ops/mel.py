@@ -137,7 +137,15 @@ def _dft_matrices(frame_length: int, n_fft: int, window: str):
 # ----------------------------------------------------------------------
 @partial(
     jax.jit,
-    static_argnames=("frame_length", "hop_length", "n_fft", "window", "center", "power"),
+    static_argnames=(
+        "frame_length",
+        "hop_length",
+        "n_fft",
+        "window",
+        "center",
+        "power",
+        "compute_dtype",
+    ),
 )
 def stft_power(
     audio,
@@ -147,6 +155,7 @@ def stft_power(
     window: str = "hann",
     center: bool = True,
     power: float = 2.0,
+    compute_dtype=None,
 ):
     """Magnitude (power=1) or power (power=2) spectrogram via matmul-DFT.
 
@@ -163,11 +172,16 @@ def stft_power(
     # framing + windowed DFT as ONE strided convolution: kernel rows are the
     # windowed cos/sin basis vectors, stride is the hop.  This maps straight
     # onto the MXU; an index-array gather here is pathologically slow on TPU.
+    # compute_dtype=bfloat16 halves the MXU time with f32 accumulation
+    # (~1e-3 relative spectrogram error; ~0.01 dB after the log).
     cos_m, sin_m = _dft_matrices(frame_length, n_fft, window)
     n_bins = cos_m.shape[1]
     kernel = jnp.asarray(
         np.concatenate([cos_m.T, sin_m.T], axis=0)[:, None, :]
     )  # (2*n_bins, 1, frame_length)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x[:, None, :],
         kernel,
@@ -201,6 +215,7 @@ def log_mel_spectrogram(
     zero_dc: bool = False,
     log_mode: str = "db",
     log_offset: float = 0.01,
+    compute_dtype=None,
 ):
     """audio (B, n) -> log-mel (B, n_frames, n_mels) float32.
 
@@ -216,6 +231,7 @@ def log_mel_spectrogram(
         n_fft=n_fft,
         center=center,
         power=power,
+        compute_dtype=compute_dtype,
     )
     fb = mel_filter_bank(
         num_frequency_bins=spec.shape[-1],
