@@ -164,16 +164,34 @@ def _window_attention(x, params, prefix, num_heads: int, window: int, attn_mask)
     bn, n, c = x.shape
     head = c // num_heads
 
-    def qkv(name):
-        y = _linear(x, params, f"{prefix}.self.{name}")
-        return y.reshape(bn, n, num_heads, head).transpose(0, 2, 1, 3)
+    # fused qkv: one (C -> 3C) matmul instead of three (C -> C) — small-C
+    # stages otherwise underfill the MXU (the concat folds at compile time)
+    w_fused = jnp.concatenate(
+        [params[f"{prefix}.self.{name}.weight"] for name in ("query", "key", "value")],
+        axis=0,
+    ).astype(x.dtype)
+    y = jnp.dot(x, w_fused.T, preferred_element_type=jnp.float32)
+    if f"{prefix}.self.query.bias" in params:
+        b_fused = jnp.concatenate(
+            [params[f"{prefix}.self.{name}.bias"] for name in ("query", "key", "value")]
+        ).astype(jnp.float32)
+        y = y + b_fused
+    y = y.astype(x.dtype)
+    q, k, v = (
+        y[..., i * c : (i + 1) * c].reshape(bn, n, num_heads, head).transpose(0, 2, 1, 3)
+        for i in range(3)
+    )
+    # scores matmul accumulates f32 on the MXU but the materialized score
+    # tensor stays in the activation dtype: the (B*nW, h, w^2, w^2) scores
+    # are the largest activation in the network and the forward is
+    # HBM-bandwidth-bound (softmax max-subtraction keeps bf16 stable here;
+    # windows are only 64 tokens)
+    scores = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    scores = scores / jnp.asarray(np.sqrt(head), dtype=x.dtype)
 
-    q, k, v = qkv("query"), qkv("key"), qkv("value")
-    # scores in f32 (softmax numerics), value matmul back in activation dtype
-    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-    scores = scores / np.sqrt(head)
-
-    table = params[f"{prefix}.self.relative_position_bias_table"].astype(jnp.float32)
+    table = params[f"{prefix}.self.relative_position_bias_table"].astype(x.dtype)
     idx = _relative_position_index(window).reshape(-1)
     bias = table[idx].reshape(n, n, num_heads).transpose(2, 0, 1)
     scores = scores + bias[None]
@@ -181,10 +199,10 @@ def _window_attention(x, params, prefix, num_heads: int, window: int, attn_mask)
     if attn_mask is not None:
         n_windows = attn_mask.shape[0]
         scores = scores.reshape(bn // n_windows, n_windows, num_heads, n, n)
-        scores = scores + jnp.asarray(attn_mask)[None, :, None]
+        scores = scores + jnp.asarray(attn_mask, dtype=x.dtype)[None, :, None]
         scores = scores.reshape(bn, num_heads, n, n)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
     ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(bn, n, c)
     return _linear(ctx, params, f"{prefix}.output.dense")
