@@ -109,22 +109,27 @@ def convert_torch_state_dict(state_dict) -> dict:
     return out
 
 
-@jax.jit
-def _forward(params: dict, patches):
-    """patches (N, 96, 64) -> (N, 128) pre-activation embeddings."""
-    x = patches[:, None, :, :]  # NCHW
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def _forward(params: dict, patches, compute_dtype=None):
+    """patches (N, 96, 64) -> (N, 128) pre-activation embeddings.
+
+    compute_dtype=bfloat16 runs the conv/fc matmuls on the MXU in bf16 with
+    f32 accumulation; outputs stay f32.
+    """
+    dtype = compute_dtype or jnp.float32
+    x = patches[:, None, :, :].astype(dtype)  # NCHW
     for i, idx in enumerate(_TORCH_CONV_IDX):
         w = params[f"features.{idx}.weight"]
         b = params[f"features.{idx}.bias"]
         x = jax.lax.conv_general_dilated(
             x,
-            jnp.asarray(w),
+            jnp.asarray(w).astype(dtype),
             window_strides=(1, 1),
             padding=[(1, 1), (1, 1)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.float32,
         ) + jnp.asarray(b)[None, :, None, None]
-        x = jax.nn.relu(x)
+        x = jax.nn.relu(x).astype(dtype)
         if i in _POOL_AFTER:
             x = jax.lax.reduce_window(
                 x,
@@ -137,20 +142,20 @@ def _forward(params: dict, patches):
     # torch: permute NCHW -> NHWC then flatten (vggish.py network definition)
     x = jnp.transpose(x, (0, 2, 3, 1)).reshape(x.shape[0], -1)
     for i, idx in enumerate(_TORCH_FC_IDX):
-        w = jnp.asarray(params[f"embeddings.{idx}.weight"])
+        w = jnp.asarray(params[f"embeddings.{idx}.weight"]).astype(dtype)
         b = jnp.asarray(params[f"embeddings.{idx}.bias"])
         x = jnp.dot(x, w.T, preferred_element_type=jnp.float32) + b
         if i < 2:
-            x = jax.nn.relu(x)
-    return x
+            x = jax.nn.relu(x).astype(dtype)
+    return x.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=())
-def _embed(params: dict, audio):
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def _embed(params: dict, audio, compute_dtype=None):
     patches = vggish_log_mel_patches(audio)
     b, t = patches.shape[:2]
     flat = patches.reshape(b * t, _PATCH_FRAMES, _N_MELS)
-    emb = _forward(params, flat)
+    emb = _forward(params, flat, compute_dtype)
     return emb.reshape(b, t, -1).mean(axis=1)
 
 
@@ -159,7 +164,12 @@ class VGGish(Embedder):
 
     names = ("embedding",)
 
-    def __init__(self, params: dict | None = None, ckpt: str | None = None):
+    def __init__(
+        self,
+        params: dict | None = None,
+        ckpt: str | None = None,
+        compute_dtype: str | None = None,
+    ):
         if params is None and ckpt is not None:
             params = load_checkpoint(ckpt)
         if params is None:
@@ -170,6 +180,7 @@ class VGGish(Embedder):
             )
             params = init_params()
         self.params = jax.tree.map(jnp.asarray, params)
+        self.compute_dtype = jnp.dtype(compute_dtype).type if compute_dtype else None
 
     @property
     def sr(self) -> int:
@@ -179,7 +190,7 @@ class VGGish(Embedder):
         audio = jnp.asarray(data["audio"], dtype=jnp.float32)
         if audio.ndim == 1:
             audio = audio[None]
-        return {"embedding": _embed(self.params, audio)}
+        return {"embedding": _embed(self.params, audio, self.compute_dtype)}
 
 
 def load_checkpoint(path: str) -> dict:
