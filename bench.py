@@ -25,7 +25,7 @@ os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
 
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "512"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "128"))
 SR = 48000
 CLIP_SECONDS = 5.0
 NORTH_STAR = 5000.0
