@@ -99,8 +99,8 @@ def _db_gain(delta_db):
 
 @partial(jax.jit, static_argnames=("sr",))
 def _mix_loudness_jit(audio, sr: int, stem_db_red: float, out_db: float):
-    s0 = audio[:, :, 0].astype(jnp.float64)
-    s1 = audio[:, :, 1].astype(jnp.float64)
+    s0 = audio[:, :, 0].astype(jnp.float32)
+    s1 = audio[:, :, 1].astype(jnp.float32)
 
     vmax = jnp.max(jnp.abs(audio), axis=1)  # (B, 2)
     silent = vmax < _EPS  # (B, 2)
@@ -116,7 +116,8 @@ def _mix_loudness_jit(audio, sr: int, stem_db_red: float, out_db: float):
     # set stem loudness relative to context (pyln.normalize.loudness gain)
     l1_trg = l0 + stem_db_red
     gain_ok = jnp.logical_and(jnp.isfinite(l1), jnp.isfinite(l1_trg))
-    s1_gain = jnp.where(gain_ok, _db_gain(l1_trg - l1), 1.0)
+    # gains derive from f64 loudness scalars; the signals stay f32
+    s1_gain = jnp.where(gain_ok, _db_gain(l1_trg - l1), 1.0).astype(jnp.float32)
     mix = s0 + s1 * s1_gain[:, None]
 
     # when exactly one channel is silent, the mix is the non-silent channel
@@ -126,7 +127,8 @@ def _mix_loudness_jit(audio, sr: int, stem_db_red: float, out_db: float):
     # normalize the mix to the target output loudness
     l_mix = integrated_loudness_batch(mix, sr)
     norm_ok = jnp.isfinite(l_mix)
-    mix = mix * jnp.where(norm_ok, _db_gain(out_db - l_mix), 1.0)[:, None]
+    norm_gain = jnp.where(norm_ok, _db_gain(out_db - l_mix), 1.0).astype(jnp.float32)
+    mix = mix * norm_gain[:, None]
 
     # brick-wall limit items whose peak exceeds 1.0; the sequential limiter
     # scan only runs at all if some item actually peaks (lax.cond)
