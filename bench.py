@@ -26,9 +26,72 @@ os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "512"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "128"))
+BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa"
 SR = 48000
 CLIP_SECONDS = 5.0
 NORTH_STAR = 5000.0
+
+
+def main_apa():
+    """APA E2E: context+stem pairs -> L0 loudness mix on device -> CLAP ->
+    APA+FAD (BASELINE.json config 3)."""
+    import jax
+
+    from audio_metrics_tpu import AudioMetrics
+    from audio_metrics_tpu.models.clap import LaionCLAP
+
+    rng = np.random.default_rng(0)
+    n = int(SR * CLIP_SECONDS)
+    reference = (0.2 * rng.normal(size=(N_CLIPS, n, 2))).astype(np.float32)
+    candidate = (0.2 * rng.normal(size=(N_CLIPS, n, 2))).astype(np.float32)
+
+    am = AudioMetrics(
+        metrics=["apa", "fad"],
+        embedder=LaionCLAP(compute_dtype="bfloat16"),
+        mix_function="L0",
+        win_dur=CLIP_SECONDS,
+        input_sr=SR,
+        batch_size=BATCH_SIZE,
+    )
+    t0 = time.perf_counter()
+    am.add_reference(reference)
+    am.evaluate(candidate)
+    warmup_s = time.perf_counter() - t0
+    am.reset_reference()
+
+    t0 = time.perf_counter()
+    am.add_reference(reference)
+    t_ref = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = am.evaluate(candidate)
+    t_eval = time.perf_counter() - t0
+    pairs_per_sec = N_CLIPS / t_eval
+    print(
+        json.dumps(
+            {
+                "metric": "5s-pairs/sec/chip APA E2E (L0 mix + CLAP bf16, host-fed pairs)",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(pairs_per_sec / NORTH_STAR, 4),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "mode": "apa",
+                    "n_pairs": N_CLIPS,
+                    "batch_size": BATCH_SIZE,
+                    "warmup_s": round(warmup_s, 2),
+                    "add_reference_s": round(t_ref, 2),
+                    "evaluate_s": round(t_eval, 2),
+                    "metrics": {k: float(v) for k, v in result.items()},
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
 
 
 def main():
@@ -110,4 +173,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if BENCH_MODE == "apa":
+        main_apa()
+    else:
+        main()
