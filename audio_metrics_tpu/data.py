@@ -113,6 +113,7 @@ class AudioMetricsData:
         if self.store_embeddings:
             self._embedding_chunks.append(np.array(e, dtype=np.float32, copy=True))
             self._embeddings_cat = None
+            self._embeddings_dev = None
 
     def add_moments(self, n, s1, m2, embeddings=None) -> None:
         """Accumulate device-computed moments (see :func:`batch_moments`).
@@ -137,6 +138,7 @@ class AudioMetricsData:
             e = ensure_ndarray(embeddings)
             self._embedding_chunks.append(np.array(e, dtype=np.float32, copy=True))
             self._embeddings_cat = None
+            self._embeddings_dev = None
 
     def _update_stats(self, mean: np.ndarray, cov: np.ndarray, n: int) -> None:
         """Chan merge of (mean, cov, n) pairs (reference data.py:77-94)."""
@@ -169,7 +171,21 @@ class AudioMetricsData:
             else:
                 self._embeddings_cat = np.concatenate(self._embedding_chunks, axis=0)
                 self._embedding_chunks = [self._embeddings_cat]
+            self._embeddings_dev = None
         return self._embeddings_cat
+
+    @property
+    def embeddings_device(self):
+        """Device-resident copy of the stored embeddings, cached so the
+        KD/PRDC kernels share one upload instead of re-staging per call."""
+        e = self.embeddings
+        if e is None:
+            return None
+        if getattr(self, "_embeddings_dev", None) is None:
+            import jax.numpy as jnp
+
+            self._embeddings_dev = jnp.asarray(e)
+        return self._embeddings_dev
 
     @embeddings.setter
     def embeddings(self, value) -> None:
@@ -178,6 +194,7 @@ class AudioMetricsData:
         else:
             self._embedding_chunks = [ensure_ndarray(value).astype(np.float32)]
         self._embeddings_cat = None
+        self._embeddings_dev = None
 
     def recompute_stats(self) -> None:
         """Recompute exact stats from stored embeddings (reference data.py:49-58)."""
@@ -224,6 +241,7 @@ class AudioMetricsData:
         if self.store_embeddings and other.embeddings is not None:
             self._embedding_chunks.append(other.embeddings)
             self._embeddings_cat = None
+            self._embeddings_dev = None
         return self
 
     def __add__(self, other: "AudioMetricsData") -> "AudioMetricsData":

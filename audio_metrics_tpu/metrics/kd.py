@@ -47,8 +47,9 @@ logger = logging.getLogger(__name__)
 
 
 def kernel_distance(x: AudioMetricsData, y: AudioMetricsData, **kwargs) -> dict:
+    # device-resident embeddings: one (cached) upload shared with PRDC
     return kid_features_to_metric(
-        ensure_ndarray(x.embeddings), ensure_ndarray(y.embeddings), **kwargs
+        x.embeddings_device, y.embeddings_device, **kwargs
     )
 
 
@@ -250,8 +251,11 @@ def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
     if kernel_type not in ("polynomial", "rbf"):
         raise NotImplementedError(f'Unknown kernel_type "{kernel_type}"')
 
-    features_1 = ensure_ndarray(features_1)
-    features_2 = ensure_ndarray(features_2)
+    # keep jax arrays device-resident; convert torch tensors to numpy
+    if hasattr(features_1, "detach"):
+        features_1 = ensure_ndarray(features_1)
+    if hasattr(features_2, "detach"):
+        features_2 = ensure_ndarray(features_2)
     assert features_1.ndim == 2
     assert features_2.ndim == 2
     assert features_1.shape[1] == features_2.shape[1]

@@ -149,9 +149,19 @@ def nearest_neighbour_distances(input_features, nearest_k: int, mesh=None) -> np
     import jax
     import jax.numpy as jnp
 
-    x = np.ascontiguousarray(ensure_ndarray(input_features), dtype=np.float32)
+    x = input_features  # numpy OR device-resident jax array
     n = x.shape[0]
     k = min(nearest_k + 1, n)
+
+    if _try_pallas() and (mesh is None or getattr(mesh, "size", 1) == 1):
+        from ..ops.distance import knn_radii_pallas
+
+        try:
+            return knn_radii_pallas(x, nearest_k)
+        except Exception as exc:  # Mosaic lowering or runtime failure
+            _pallas_failed(exc)
+
+    x = np.ascontiguousarray(ensure_ndarray(x), dtype=np.float32)
 
     if mesh is not None and getattr(mesh, "size", 1) > 1:
         from jax.sharding import PartitionSpec as P
@@ -180,13 +190,6 @@ def nearest_neighbour_distances(input_features, nearest_k: int, mesh=None) -> np
         radii = np.asarray(jax.device_get(run(jnp.asarray(xp), jnp.asarray(x))))
         return radii[:n_orig, 0]
 
-    if _try_pallas():
-        from ..ops.distance import knn_radii_pallas
-
-        try:
-            return knn_radii_pallas(x, nearest_k)
-        except Exception as exc:  # Mosaic lowering or runtime failure
-            _pallas_failed(exc)
     # pad query rows only; the neighbour set (columns) stays unpadded so
     # padding can never appear as a fake neighbour
     xp, n_orig = _pad_rows(x, _BLOCK)
@@ -217,18 +220,18 @@ def pairwise_distance_stats(
     import jax
     import jax.numpy as jnp
 
-    ref = np.ascontiguousarray(ensure_ndarray(reference), dtype=np.float32)
-    cand = np.ascontiguousarray(ensure_ndarray(candidate), dtype=np.float32)
-    rr = np.asarray(ref_radii, dtype=np.float32)
-    cr = np.asarray(cand_radii, dtype=np.float32)
-
     if _try_pallas():
         from ..ops.distance import pairwise_stats_pallas
 
         try:
-            return pairwise_stats_pallas(ref, cand, rr, cr)
+            return pairwise_stats_pallas(reference, candidate, ref_radii, cand_radii)
         except Exception as exc:
             _pallas_failed(exc)
+
+    ref = np.ascontiguousarray(ensure_ndarray(reference), dtype=np.float32)
+    cand = np.ascontiguousarray(ensure_ndarray(candidate), dtype=np.float32)
+    rr = np.asarray(ref_radii, dtype=np.float32)
+    cr = np.asarray(cand_radii, dtype=np.float32)
 
     ref_p, n_ref = _pad_rows(ref, _BLOCK)
     rr_p = np.full(ref_p.shape[0], -1.0, np.float32)  # padded radii match nothing
@@ -259,13 +262,23 @@ def prdc(reference, candidate, nearest_k: int, mesh=None) -> dict:
                 amd.radii[key] = nearest_neighbour_distances(
                     amd.embeddings, nearest_k, mesh=mesh
                 )
+    # radii computed from the (cached) device-resident embeddings so the
+    # kNN and stats kernels share a single upload
+    for amd in (reference, candidate):
+        key = f"radii_{nearest_k}"
+        if amd.radii.get(key) is None and amd.embeddings is not None:
+            amd.radii[key] = nearest_neighbour_distances(
+                amd.embeddings_device, nearest_k
+            )
     ref_radii = ensure_ndarray(reference.get_radii(nearest_k))
     cand_radii = ensure_ndarray(candidate.get_radii(nearest_k))
-    ref_emb = ensure_ndarray(reference.embeddings)
-    cand_emb = ensure_ndarray(candidate.embeddings)
 
     cand_any, cand_count, ref_any, ref_min = pairwise_distance_stats(
-        ref_emb, cand_emb, ref_radii, cand_radii, nearest_k
+        reference.embeddings_device,
+        candidate.embeddings_device,
+        ref_radii,
+        cand_radii,
+        nearest_k,
     )
 
     precision = float(np.mean(cand_any.astype(np.float64)))

@@ -110,10 +110,21 @@ def _knn_kernel(k: int, x_ref, sq_ref, xt_all_ref, sq_all_ref, out_ref, topk_ref
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
-def _knn_call(xq, sq_q, xn, sq_n, k: int, interpret: bool):
-    d = xq.shape[1]
+def _knn_call(x, k: int, interpret: bool):
+    """Pad + row norms + the kernel, all inside one cached jit: accepts a
+    device-resident (n, d) array with no host round-trips."""
+    x = x.astype(jnp.float32)
+    n, d = x.shape
+    pad_m = (-n) % _BM
+    pad_n = (-n) % _BN
+    xq = jnp.pad(x, ((0, pad_m), (0, 0)))
+    xn = jnp.pad(x, ((0, pad_n), (0, 0)))
+    sq = jnp.sum(x * x, axis=1)
+    sq_q = jnp.pad(sq, (0, pad_m))
+    # padded neighbour rows must never win: infinite squared distance
+    sq_n = jnp.pad(sq, (0, pad_n), constant_values=jnp.inf)
     grid = (xq.shape[0] // _BM, xn.shape[0] // _BN)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_knn_kernel, k),
         grid=grid,
         in_specs=[
@@ -126,28 +137,19 @@ def _knn_call(xq, sq_q, xn, sq_n, k: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((xq.shape[0], 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_BM, 128), jnp.float32)],
         interpret=interpret,
-    )(xq, sq_q, xn, sq_n)
+    )(xq, sq_q[:, None], xn, sq_n[None, :])
+    return out[:n, 0]
 
 
-def knn_radii_pallas(x: np.ndarray, nearest_k: int, interpret: bool = False):
+def knn_radii_pallas(x, nearest_k: int, interpret: bool = False):
     """Distance to the k-th nearest neighbour (self included, so k+1-smallest),
-    matching reference prdc.py:4-15 semantics.  x: (n, d) float32 -> (n,)."""
-    x = np.ascontiguousarray(x, dtype=np.float32)
-    n, d = x.shape
+    matching reference prdc.py:4-15 semantics.  x: (n, d) float32 (numpy or
+    device-resident jax array) -> (n,) numpy."""
+    n = x.shape[0]
     k = min(nearest_k + 1, n)
-
-    n_pad_m = (-n) % _BM
-    n_pad_n = (-n) % _BN
-    xq = np.pad(x, ((0, n_pad_m), (0, 0)))
-    xn = np.pad(x, ((0, n_pad_n), (0, 0)))
-    sq_q = (xq.astype(np.float64) ** 2).sum(1, dtype=np.float64).astype(np.float32)
-    sq_n = (xn.astype(np.float64) ** 2).sum(1, dtype=np.float64).astype(np.float32)
-    # padded neighbour rows must never win: infinite squared distance
-    sq_n[n:] = np.float32(np.inf)
-
     with _x32_scope():
-        out = _knn_call(xq, sq_q[:, None], xn, sq_n[None, :], k, interpret)
-    return np.asarray(out)[:n, 0]
+        out = _knn_call(jnp.asarray(x), k, interpret)
+    return np.asarray(out)
 
 
 # ----------------------------------------------------------------------
@@ -202,11 +204,32 @@ def _cand_stats_kernel(
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _ref_stats_call(ref_p, sq_r, cand_p, sq_c_cols, cr, interpret: bool):
-    d = ref_p.shape[1]
+def _stats_calls(ref, cand, rr_in, cr_in, interpret: bool):
+    """Both PRDC sweeps with padding/norms inside one cached jit — accepts
+    device-resident embeddings; only the four reduction vectors leave HBM."""
+    ref = ref.astype(jnp.float32)
+    cand = cand.astype(jnp.float32)
+    n_ref, d = ref.shape
+    n_cand = cand.shape[0]
+    pad_m = (-n_ref) % _BM
+    pad_n = (-n_cand) % _BN
+    ref_p = jnp.pad(ref, ((0, pad_m), (0, 0)))
+    cand_p = jnp.pad(cand, ((0, pad_n), (0, 0)))
+    sq_r = jnp.sum(ref * ref, axis=1)
+    sq_c = jnp.sum(cand * cand, axis=1)
+    # row norms: plain zero pad; column norms: +inf pad so padded columns
+    # never look close; radii: -1 pad so padded balls match nothing
+    sq_r_rows = jnp.pad(sq_r, (0, pad_m))
+    sq_c_rows = jnp.pad(sq_c, (0, pad_n))
+    sq_r_cols = jnp.pad(sq_r, (0, pad_m), constant_values=jnp.inf)
+    sq_c_cols = jnp.pad(sq_c, (0, pad_n), constant_values=jnp.inf)
+    rr = jnp.pad(rr_in.astype(jnp.float32), (0, pad_m), constant_values=-1.0)
+    cr = jnp.pad(cr_in.astype(jnp.float32), (0, pad_n), constant_values=-1.0)
+
     n_i = ref_p.shape[0] // _BM
     n_j = cand_p.shape[0] // _BN
-    return pl.pallas_call(
+
+    ref_any, ref_min = pl.pallas_call(
         _ref_stats_kernel,
         grid=(n_i, n_j),
         in_specs=[
@@ -225,15 +248,9 @@ def _ref_stats_call(ref_p, sq_r, cand_p, sq_c_cols, cr, interpret: bool):
             jax.ShapeDtypeStruct((ref_p.shape[0], 1), jnp.float32),
         ),
         interpret=interpret,
-    )(ref_p, sq_r, cand_p, sq_c_cols, cr)
+    )(ref_p, sq_r_rows[:, None], cand_p, sq_c_cols[None, :], cr[None, :])
 
-
-@partial(jax.jit, static_argnames=("interpret",))
-def _cand_stats_call(cand_p, sq_c, ref_p, sq_r_cols, rr, interpret: bool):
-    d = ref_p.shape[1]
-    n_i = ref_p.shape[0] // _BM
-    n_j = cand_p.shape[0] // _BN
-    return pl.pallas_call(
+    cand_any, cand_count = pl.pallas_call(
         _cand_stats_kernel,
         grid=(n_j, n_i),
         in_specs=[
@@ -252,57 +269,37 @@ def _cand_stats_call(cand_p, sq_c, ref_p, sq_r_cols, rr, interpret: bool):
             jax.ShapeDtypeStruct((cand_p.shape[0], 1), jnp.int32),
         ),
         interpret=interpret,
-    )(cand_p, sq_c, ref_p, sq_r_cols, rr)
+    )(cand_p, sq_c_rows[:, None], ref_p, sq_r_cols[None, :], rr[None, :])
+
+    return (
+        cand_any[:n_cand, 0] > 0,
+        cand_count[:n_cand, 0],
+        ref_any[:n_ref, 0] > 0,
+        ref_min[:n_ref, 0],
+    )
 
 
 def pairwise_stats_pallas(
-    reference: np.ndarray,
-    candidate: np.ndarray,
-    ref_radii: np.ndarray,
-    cand_radii: np.ndarray,
+    reference,
+    candidate,
+    ref_radii,
+    cand_radii,
     interpret: bool = False,
 ):
-    """One fused sweep over the ref x cand distances; returns the four PRDC
-    reductions (same contract as metrics/prdc.pairwise_distance_stats)."""
-    ref = np.ascontiguousarray(reference, dtype=np.float32)
-    cand = np.ascontiguousarray(candidate, dtype=np.float32)
-    n_ref, d = ref.shape
-    n_cand = cand.shape[0]
-
-    pad_m = (-n_ref) % _BM
-    pad_n = (-n_cand) % _BN
-    ref_p = np.pad(ref, ((0, pad_m), (0, 0)))
-    cand_p = np.pad(cand, ((0, pad_n), (0, 0)))
-    sq_r = (ref_p.astype(np.float64) ** 2).sum(1).astype(np.float32)
-    sq_c = (cand_p.astype(np.float64) ** 2).sum(1).astype(np.float32)
-    rr = np.full(ref_p.shape[0], -1.0, np.float32)  # padded refs match nothing
-    rr[:n_ref] = ref_radii
-    cr = np.full(cand_p.shape[0], -1.0, np.float32)  # padded cands match nothing
-    cr[:n_cand] = cand_radii
-    # padded cand columns must not pollute ref_min/ref_any
-    sq_c[n_cand:] = np.float32(np.inf)
-
-    n_i = ref_p.shape[0] // _BM
-    n_j = cand_p.shape[0] // _BN
-    # padded ref columns must not pollute cand-side mins/any; padded cand
-    # columns must not pollute ref_min/ref_any
-    sq_r_cols = sq_r.copy()
-    sq_r_cols[n_ref:] = np.float32(np.inf)
-    sq_c_cols = sq_c.copy()
-    sq_c_cols[n_cand:] = np.float32(np.inf)
-
+    """Fused sweeps over the ref x cand distances; returns the four PRDC
+    reductions (same contract as metrics/prdc.pairwise_distance_stats).
+    Inputs may be numpy or device-resident jax arrays."""
     with _x32_scope():
-        ref_any, ref_min = _ref_stats_call(
-            ref_p, sq_r[:, None], cand_p, sq_c_cols[None, :], cr[None, :], interpret
+        cand_any, cand_count, ref_any, ref_min = _stats_calls(
+            jnp.asarray(reference),
+            jnp.asarray(candidate),
+            jnp.asarray(ref_radii),
+            jnp.asarray(cand_radii),
+            interpret,
         )
-
-        cand_any_p, cand_count_p = _cand_stats_call(
-            cand_p, sq_c[:, None], ref_p, sq_r_cols[None, :], rr[None, :], interpret
-        )
-
     return (
-        np.asarray(cand_any_p)[:n_cand, 0] > 0,
-        np.asarray(cand_count_p)[:n_cand, 0].astype(np.int64),
-        np.asarray(ref_any)[:n_ref, 0] > 0,
-        np.asarray(ref_min)[:n_ref, 0],
+        np.asarray(cand_any),
+        np.asarray(cand_count).astype(np.int64),
+        np.asarray(ref_any),
+        np.asarray(ref_min),
     )

@@ -470,5 +470,6 @@ def embedding_pipeline(
             rows = ensure_ndarray(embedding)[mask]
             amd._embedding_chunks.append(np.array(rows, dtype=np.float32))
             amd._embeddings_cat = None
+            amd._embeddings_dev = None
 
     return metrics_data
