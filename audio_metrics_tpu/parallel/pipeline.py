@@ -444,6 +444,15 @@ def embedding_pipeline(
             audio = _device_resample(audio, input_sr, embedder.sr)
         if kind == "pair":
             mono = _device_mix(mix_function, audio, sr=embedder.sr)
+            if os.environ.get("AM_TPU_DEBUG_NAN"):
+                # failure-detection parity with the reference's NaN debug
+                # print in mixing (mix_functions.py:328-331); opt-in since it
+                # forces a device sync per batch
+                bad = int(np.sum(~np.isfinite(ensure_ndarray(mono))))
+                if bad:
+                    import warnings
+
+                    warnings.warn(f"mix produced {bad} non-finite samples")
             wanted = pair_cats
         else:
             mono = audio
