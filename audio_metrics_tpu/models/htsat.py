@@ -21,7 +21,7 @@ time interpolation of reshape_mel2img is folded into a precomputed matmul.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np

@@ -14,7 +14,7 @@ filtered signal, absolute gate at -70 LKFS, relative gate at (ungated mean
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import numpy as np
 import jax
