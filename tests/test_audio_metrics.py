@@ -214,3 +214,18 @@ def test_repeated_evaluate_is_deterministic(am_no_apa):
     r1 = am_no_apa.evaluate(cand)
     r2 = am_no_apa.evaluate(cand)  # PCA cache path on the second call
     assert r1 == r2
+
+
+def test_custom_win_dur():
+    # 2.5 s windows: a 6 s clip yields 2 windows (trailing second dropped)
+    am = AudioMetrics(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        metrics=["fad"],
+        win_dur=2.5,
+    )
+    rng = np.random.default_rng(30)
+    am.add_reference(rng.random((9, 6 * SR)))
+    assert am.stem_reference.n == 18
+    out = am.evaluate(rng.random((9, 6 * SR)))
+    assert np.isfinite(out["fad"])
