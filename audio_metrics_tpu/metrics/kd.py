@@ -206,8 +206,20 @@ def _device_mmd2_subsets(
     import jax
     import jax.numpy as jnp
 
-    f1 = jnp.asarray(features_1, dtype=jnp.float32)
-    f2 = jnp.asarray(features_2, dtype=jnp.float32)
+    def _pad_pow2_rows(f):
+        # bucket row counts to powers of two so different eval-set sizes hit
+        # the same compiled program (padded rows are never gathered: subset
+        # indices only cover the valid range)
+        n = f.shape[0]
+        target = max(256, 1 << (n - 1).bit_length())
+        if target > n:
+            f = jnp.pad(jnp.asarray(f, dtype=jnp.float32), ((0, target - n), (0, 0)))
+        else:
+            f = jnp.asarray(f, dtype=jnp.float32)
+        return f
+
+    f1 = _pad_pow2_rows(features_1)
+    f2 = _pad_pow2_rows(features_2)
     i1 = jnp.asarray(idx_1, dtype=jnp.int32)
     i2 = jnp.asarray(idx_2, dtype=jnp.int32)
     m = idx_1.shape[1]

@@ -14,11 +14,15 @@ just the inputs and the tiny reduction outputs.  The matmul part
 
 Kernels:
 - :func:`knn_radii_pallas` — distance to the k-th nearest neighbour per row
-  (streaming top-k merge across column tiles)
-- :func:`pairwise_stats_pallas` — the four PRDC reductions in one sweep
+  (streaming k-smallest merge across column tiles)
+- :func:`pairwise_stats_pallas` — the four PRDC reductions in two
+  single-sided sweeps (each output accumulates along its fastest grid dim,
+  the legal Pallas revisiting pattern)
 
-Both have ``interpret=True`` support for CPU tests; the XLA implementations
-in metrics/prdc.py remain as the fallback path.
+All have ``interpret=True`` support for CPU tests; the XLA implementations
+in metrics/prdc.py remain as the fallback path.  Wrappers accept numpy or
+device-resident jax arrays; padding and row norms happen inside cached jits
+so nothing round-trips to host.
 """
 
 from __future__ import annotations
