@@ -26,7 +26,7 @@ os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "512"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "128"))
-BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa"
+BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
 SR = 48000
 CLIP_SECONDS = 5.0
 NORTH_STAR = 5000.0
@@ -172,8 +172,72 @@ def main():
     )
 
 
+def main_vggish():
+    """VGGish E2E (BASELINE.json config 2 analog): 5 s stems -> VGGish bf16
+    -> FAD+KD+PRDC, device-resident."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu import AudioMetrics
+    from audio_metrics_tpu.models.vggish import VGGish
+
+    sr = 16000
+    n = int(sr * CLIP_SECONDS)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    reference = 0.2 * jax.random.normal(k1, (N_CLIPS, n), jnp.float32)
+    candidate = 0.2 * jax.random.normal(k2, (N_CLIPS, n), jnp.float32)
+    am = AudioMetrics(
+        metrics=["fad", "kd", "prdc"],
+        embedder=VGGish(compute_dtype="bfloat16"),
+        mix_function="L0",
+        win_dur=CLIP_SECONDS,
+        input_sr=sr,
+        batch_size=BATCH_SIZE,
+    )
+    t0 = time.perf_counter()
+    am.add_reference(reference)
+    am.evaluate(candidate)
+    warmup_s = time.perf_counter() - t0
+    am.reset_reference()
+    t0 = time.perf_counter()
+    am.add_reference(reference)
+    t_ref = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = am.evaluate(candidate)
+    t_eval = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "5s-clips/sec/chip embed->metric E2E (VGGish bf16, FAD+KD+PRDC, device-resident)",
+                "value": round(N_CLIPS / t_eval, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(N_CLIPS / t_eval / NORTH_STAR, 4),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "mode": "vggish",
+                    "n_clips": N_CLIPS,
+                    "batch_size": BATCH_SIZE,
+                    "warmup_s": round(warmup_s, 2),
+                    "add_reference_s": round(t_ref, 2),
+                    "evaluate_s": round(t_eval, 2),
+                    "metrics": {k: float(v) for k, v in result.items()},
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 if __name__ == "__main__":
     if BENCH_MODE == "apa":
         main_apa()
+    elif BENCH_MODE == "vggish":
+        main_vggish()
     else:
         main()
