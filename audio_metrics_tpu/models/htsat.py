@@ -21,6 +21,7 @@ time interpolation of reshape_mel2img is folded into a precomputed matmul.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -29,6 +30,17 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["HTSATConfig", "htsat_encode", "init_params", "HTSAT_BASE", "HTSAT_TINY"]
+
+
+def _use_pallas_attention(n_windows: int) -> bool:
+    """Fused Pallas attention pays off where XLA's window attention drowns in
+    score-tensor HBM traffic — the high-window-count early stages (measured
+    v5e, B=64: stage 0 6.3 -> 2.0 ms/block, stage 1 2.5 -> 1.3; stages 2/3
+    favour XLA because Mosaic unrolls the few-window batched matmuls).
+    Disabled off-TPU and by AM_TPU_NO_PALLAS=1."""
+    if os.environ.get("AM_TPU_NO_PALLAS"):
+        return False
+    return n_windows >= 16 and jax.default_backend() == "tpu"
 
 
 @dataclass(frozen=True)
@@ -208,6 +220,69 @@ def _window_attention(x, params, prefix, num_heads: int, window: int, attn_mask)
     return _linear(ctx, params, f"{prefix}.output.dense")
 
 
+def _attention_half_pallas(
+    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int, num_heads: int, window: int
+):
+    """x + WindowAttention(LN(x)) via the fused Pallas block kernel
+    (ops/attention.py).  The per-head weight splits / scale folds trace as
+    tiny XLA ops on the weights (fused into constants-like prep each call —
+    negligible next to the block activations)."""
+    from ..ops.attention import swin_attention_block_pallas
+
+    b, _, c = x.shape
+    h = w = resolution
+    n = window * window
+    d = c // num_heads
+    scale = 1.0 / np.sqrt(d)
+    pre = f"{prefix}.attention"
+    dt = x.dtype
+
+    wq = params[f"{pre}.self.query.weight"].T.reshape(c, num_heads, d)
+    wq = (wq * jnp.float32(scale)).transpose(1, 0, 2).astype(dt)
+    bq = (params[f"{pre}.self.query.bias"].reshape(num_heads, d) * scale).astype(
+        jnp.float32
+    )
+    wk = params[f"{pre}.self.key.weight"].T.reshape(c, num_heads, d)
+    wk = wk.transpose(1, 0, 2).astype(dt)
+    wv = params[f"{pre}.self.value.weight"].T.reshape(c, num_heads, d)
+    wv = wv.transpose(1, 0, 2).astype(dt)
+    wp = params[f"{pre}.output.dense.weight"].T.reshape(num_heads, d, c).astype(dt)
+    # value bias folds through the projection (softmax rows sum to 1);
+    # key bias drops out (constant per score row)
+    bv = params[f"{pre}.self.value.bias"].reshape(num_heads, d)
+    bp = (
+        params[f"{pre}.output.dense.bias"]
+        + jnp.einsum("hd,hdc->c", bv, wp.astype(jnp.float32))
+    ).astype(jnp.float32)
+
+    table = params[f"{pre}.self.relative_position_bias_table"].astype(jnp.float32)
+    idx = _relative_position_index(window).reshape(-1)
+    bias = table[idx].reshape(n, n, num_heads).transpose(2, 0, 1)
+    if shift > 0:
+        mask = jnp.asarray(_shift_attn_mask(h, w, window, shift))
+        bm = bias[None] + mask[:, None]
+    else:
+        bm = bias[None]
+
+    out = swin_attention_block_pallas(
+        x.reshape(b, h, w, c),
+        params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
+        wq,
+        bq,
+        wk,
+        wv,
+        wp,
+        bp,
+        bm,
+        num_heads,
+        window,
+        shift,
+        eps=cfg.layer_norm_eps,
+    )
+    return out.reshape(b, h * w, c)
+
+
 def _swin_block(
     x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int, num_heads: int
 ):
@@ -219,29 +294,60 @@ def _swin_block(
     h = w = resolution
     b, _, c = x.shape
     num_heads_prefix = f"{prefix}.attention"
+    n_windows = (h // window) * (w // window)
 
-    shortcut = x
-    x = _layer_norm(
-        x,
-        params[f"{prefix}.layernorm_before.weight"],
-        params[f"{prefix}.layernorm_before.bias"],
-        cfg.layer_norm_eps,
+    # the fused MLP wins where the token count is large (stages 0/1: XLA
+    # 2.4/1.3 -> 1.0/0.65 ms per block); at small token counts XLA's own
+    # fusion of the repeated blocks is already competitive and the extra
+    # kernel boundary costs more than it saves (measured stage-3 regression)
+    use_pallas_mlp = (
+        x.shape[1] >= 1024
+        and not os.environ.get("AM_TPU_NO_PALLAS")
+        and jax.default_backend() == "tpu"
     )
-    x = x.reshape(b, h, w, c)
-    if shift > 0:
-        x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-        attn_mask = _shift_attn_mask(h, w, window, shift)
+
+    if _use_pallas_attention(n_windows):
+        x = _attention_half_pallas(
+            x, params, prefix, cfg, resolution, shift, num_heads, window
+        )
     else:
-        attn_mask = None
+        shortcut = x
+        x = _layer_norm(
+            x,
+            params[f"{prefix}.layernorm_before.weight"],
+            params[f"{prefix}.layernorm_before.bias"],
+            cfg.layer_norm_eps,
+        )
+        x = x.reshape(b, h, w, c)
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            attn_mask = _shift_attn_mask(h, w, window, shift)
+        else:
+            attn_mask = None
 
-    wins = _window_partition(x, window)
-    wins = _window_attention(wins, params, num_heads_prefix, num_heads, window, attn_mask)
-    x = _window_reverse(wins, window, h, w)
-    if shift > 0:
-        x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
-    x = x.reshape(b, h * w, c)
-    x = shortcut + x
+        wins = _window_partition(x, window)
+        wins = _window_attention(
+            wins, params, num_heads_prefix, num_heads, window, attn_mask
+        )
+        x = _window_reverse(wins, window, h, w)
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = x.reshape(b, h * w, c)
+        x = shortcut + x
 
+    if use_pallas_mlp:
+        from ..ops.mlp import mlp_block_pallas
+
+        return mlp_block_pallas(
+            x,
+            params[f"{prefix}.layernorm_after.weight"].astype(jnp.float32),
+            params[f"{prefix}.layernorm_after.bias"].astype(jnp.float32),
+            params[f"{prefix}.intermediate.dense.weight"].T.astype(x.dtype),
+            params[f"{prefix}.intermediate.dense.bias"].astype(jnp.float32),
+            params[f"{prefix}.output.dense.weight"].T.astype(x.dtype),
+            params[f"{prefix}.output.dense.bias"].astype(jnp.float32),
+            eps=cfg.layer_norm_eps,
+        )
     y = _layer_norm(
         x,
         params[f"{prefix}.layernorm_after.weight"],
@@ -322,22 +428,28 @@ def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE, compute_dtype
     mel = (mel - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
 
     x = reshape_mel2img(mel, cfg)  # (B, 1, spec, spec)
-    x = x.astype(compute_dtype)
 
-    # patch embed: conv k=4 s=4 + flatten + LN
-    w = params["audio_encoder.patch_embed.proj.weight"].astype(compute_dtype)
+    # patch embed: the k=4 s=4 single-channel conv expressed as a patch
+    # reshape + one MXU matmul (the conv lowers through XLA's general conv
+    # path at ~40% of the matmul's speed for C_in=1)
+    ps = cfg.patch_size
+    bsz, _, hh, ww = x.shape
+    xp = (
+        x[:, 0]
+        .reshape(bsz, hh // ps, ps, ww // ps, ps)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(bsz, (hh // ps) * (ww // ps), ps * ps)
+    )
+    w = (
+        params["audio_encoder.patch_embed.proj.weight"]
+        .reshape(-1, ps * ps)
+        .T.astype(compute_dtype)
+    )
     b = params["audio_encoder.patch_embed.proj.bias"]
-    x = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(cfg.patch_stride, cfg.patch_stride),
-        padding=[(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    ) + b[None, :, None, None].astype(jnp.float32)
-    x = x.astype(compute_dtype)
-    bsz, c, gh, gw = x.shape
-    x = x.reshape(bsz, c, gh * gw).transpose(0, 2, 1)  # (B, N, C)
+    x = jnp.dot(
+        xp.astype(compute_dtype), w, preferred_element_type=jnp.float32
+    ) + b.astype(jnp.float32)
+    x = x.astype(compute_dtype)  # (B, N, C) in row-major (grid_h, grid_w) order
     x = _layer_norm(
         x,
         params["audio_encoder.patch_embed.norm.weight"],

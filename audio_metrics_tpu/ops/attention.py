@@ -1,0 +1,256 @@
+"""Fused Swin attention-half Pallas kernel for the HTSAT encoder.
+
+The HTSAT forward is HBM-bandwidth-bound and XLA's lowering of its windowed
+attention is the dominant traffic: the (B*nW, heads, n, n) score tensor and
+the qkv activations round-trip HBM several times (f32 matmul outputs,
+separate bias adds, an unfused softmax chain — measured ~3.6 GB per stage-0
+block at B=64 against a 67 MB block activation).
+
+This kernel runs the ENTIRE attention half of a Swin block — LayerNorm,
+shifted-window roll, window partition, per-head qkv projections, scores,
+bias+mask, softmax, context, output projection and the residual add — in one
+pallas_call.  HBM sees the block input once in and the residual output once
+out (plus the small weights); scores/probs/q/k/v only ever exist in VMEM.
+
+Head extraction never slices the lane dimension (Mosaic relayouts there are
+expensive and minor-dim reshape splits are unsupported): the qkv weights are
+pre-split per head into (heads, C, d) operands, so each head's q/k/v come
+from thin MXU matmuls, and the per-head output projections accumulate into
+an f32 (rows, C) buffer — no lane-dim concatenation either.
+
+Algebraic folds done at call time (free, outside the kernel):
+  - the 1/sqrt(d) score scale is folded into wq/bq;
+  - the key bias drops out entirely (a per-row constant under softmax);
+  - the value bias times wproj folds into the projection bias
+    (softmax rows sum to 1).
+
+Used by models/htsat.py on the TPU backend; the XLA einsum path remains the
+fallback (CPU, or AM_TPU_NO_PALLAS=1).  Replaces the torch WindowAttention
+behaviour of the reference's laion_clap HTSAT tower (SURVEY.md component 14;
+reference embedders/clap.py:17).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["swin_attention_block_pallas"]
+
+
+def _x32_scope():
+    """Kernel literals must stay 32-bit under the package's global x64."""
+    if hasattr(jax, "enable_x64"):  # jax >= 0.9
+        return jax.enable_x64(False)
+    try:
+        return jax.experimental.disable_x64()
+    except AttributeError:
+        return contextlib.nullcontext()
+
+
+_TARGET_BLOCK_BYTES = 2 * 1024 * 1024
+
+
+def _kb_for(batch: int, per_image_bytes: int) -> int:
+    kb = 1
+    while (
+        kb * 2 <= batch
+        and batch % (kb * 2) == 0
+        and (kb * 2) * per_image_bytes <= _TARGET_BLOCK_BYTES
+    ):
+        kb *= 2
+    return kb
+
+
+def _attn_block_kernel(
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float,
+    x_ref,
+    ln_w_ref,
+    ln_b_ref,
+    wq_ref,
+    bq_ref,
+    wk_ref,
+    wv_ref,
+    wp_ref,
+    bp_ref,
+    bm_ref,
+    out_ref,
+):
+    kb, height, width, c = x_ref.shape
+    n = window * window
+    hb, wb = height // window, width // window
+    g = kb * hb * wb  # windows in this block
+    rows = kb * height * width
+    dt = x_ref.dtype
+
+    xin = x_ref[:].reshape(rows, c)
+
+    # LayerNorm (f32 statistics)
+    xf = xin.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    xn_f32 = (
+        (xf - mu)
+        * jax.lax.rsqrt(var + jnp.float32(eps))
+        * ln_w_ref[:].astype(jnp.float32)
+        + ln_b_ref[:].astype(jnp.float32)
+    )
+
+    x4 = xn_f32.reshape(kb, height, width, c)
+    if shift:
+        # pltpu.roll wants non-negative shifts (roll(-s) == roll(size - s))
+        # and 32-bit data, so roll before the bf16 cast
+        x4 = pltpu.roll(x4, height - shift, 1)
+        x4 = pltpu.roll(x4, width - shift, 2)
+    x4 = x4.astype(dt)
+
+    # window partition: sublane-aligned reshape/transpose only
+    xw = (
+        x4.reshape(kb, hb, window, wb, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(g * n, c)
+    )
+
+    acc = jnp.zeros((rows, c), jnp.float32)
+    for h in range(heads):
+        q = (
+            jnp.dot(xw, wq_ref[h], preferred_element_type=jnp.float32)
+            + bq_ref[h].astype(jnp.float32)
+        ).astype(dt)
+        k = jnp.dot(xw, wk_ref[h], preferred_element_type=jnp.float32).astype(dt)
+        v = jnp.dot(xw, wv_ref[h], preferred_element_type=jnp.float32).astype(dt)
+        d = q.shape[-1]
+        s = jax.lax.dot_general(
+            q.reshape(g, n, d),
+            k.reshape(g, n, d),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        bm = bm_ref[:, h]  # (nW, n, n) f32
+        if bm_ref.shape[0] == 1:
+            s = s + bm[0][None]
+        else:
+            s = s + jnp.broadcast_to(
+                bm[None], (kb, bm_ref.shape[0], n, n)
+            ).reshape(g, n, n)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        ctx = jax.lax.dot_general(
+            p,
+            v.reshape(g, n, d),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        acc = acc + jnp.dot(
+            ctx.reshape(g * n, d), wp_ref[h], preferred_element_type=jnp.float32
+        )
+
+    ow = acc + bp_ref[:].astype(jnp.float32)
+    o4 = (
+        ow.reshape(kb, hb, wb, window, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(kb, height, width, c)
+    )
+    if shift:
+        o4 = pltpu.roll(o4, shift, 1)
+        o4 = pltpu.roll(o4, shift, 2)
+    # (o4 rolls are already non-negative)
+    out_ref[:] = (
+        o4.reshape(rows, c) + xin.astype(jnp.float32)
+    ).astype(dt).reshape(kb, height, width, c)
+
+
+@partial(
+    jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
+)
+def _attn_block_call(
+    x, ln_w, ln_b, wq, bq, wk, wv, wp, bp, bm, heads, window, shift, eps, interpret
+):
+    b, height, width, c = x.shape
+    kb = _kb_for(b, height * width * c * x.dtype.itemsize)
+    nw = (height // window) * (width // window)
+    n = window * window
+    wspec = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_attn_block_kernel, heads, window, shift, eps),
+        grid=(b // kb,),
+        in_specs=[
+            pl.BlockSpec(
+                (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            wspec(ln_w.shape),
+            wspec(ln_b.shape),
+            wspec(wq.shape),
+            wspec(bq.shape),
+            wspec(wk.shape),
+            wspec(wv.shape),
+            wspec(wp.shape),
+            wspec(bp.shape),
+            wspec((bm.shape[0], heads, n, n)),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, height, width, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln_w, ln_b, wq, bq, wk, wv, wp, bp, bm)
+
+
+def swin_attention_block_pallas(
+    x,
+    ln_w,
+    ln_b,
+    wq,
+    bq,
+    wk,
+    wv,
+    wp,
+    bp,
+    bias_mask,
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Fused attention half of a Swin block (pre-LN convention).
+
+    x: (B, H, W, C); returns x + WindowAttention(LN(x)) with the same shape.
+    wq/wk/wv: (heads, C, d) per-head projections — wq/bq pre-scaled by
+    1/sqrt(d).  wp: (heads, d, C) per-head output projection; bp must
+    already absorb the value bias (bp + sum_h bv_h @ wp_h).  bias_mask:
+    (nW or 1, heads, n, n) f32 relative-position bias (+ shift mask),
+    already in window order.  shift: static shifted-window offset (the
+    roll happens inside the kernel).
+    """
+    with _x32_scope():
+        return _attn_block_call(
+            x,
+            ln_w,
+            ln_b,
+            wq,
+            bq,
+            wk,
+            wv,
+            wp,
+            bp,
+            jnp.asarray(bias_mask, jnp.float32),
+            heads,
+            window,
+            int(shift),
+            float(eps),
+            interpret,
+        )

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mel_filter_bank", "log_mel_spectrogram", "stft_power"]
+__all__ = ["mel_filter_bank", "log_mel_spectrogram", "log_mel_pallas", "stft_power"]
 
 
 # ----------------------------------------------------------------------
@@ -169,33 +169,162 @@ def stft_power(
         pad = frame_length // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
 
-    # framing + windowed DFT as ONE strided convolution: kernel rows are the
-    # windowed cos/sin basis vectors, stride is the hop.  This maps straight
-    # onto the MXU; an index-array gather here is pathologically slow on TPU.
-    # compute_dtype=bfloat16 halves the MXU time with f32 accumulation
-    # (~1e-3 relative spectrogram error; ~0.01 dB after the log).
+    # Framing + windowed DFT as plain MXU matmuls.  Overlapping frames
+    # (hop < frame) are decomposed into ceil(frame/hop) NON-overlapping
+    # hop-strided chunk views (pure reshapes), each contracted against its
+    # chunk of the windowed cos/sin basis and summed:
+    #   S[t] = sum_k x[t*hop + k*hop : ...] @ W[k*hop : ...]
+    # A strided 1-channel convolution here runs ~6x slower (XLA's general
+    # conv path, measured 9.4 ms vs 1.6 ms for B=64 10 s clips at 48 kHz);
+    # an index-array gather is pathologically slow on TPU.
     cos_m, sin_m = _dft_matrices(frame_length, n_fft, window)
     n_bins = cos_m.shape[1]
-    kernel = jnp.asarray(
-        np.concatenate([cos_m.T, sin_m.T], axis=0)[:, None, :]
-    )  # (2*n_bins, 1, frame_length)
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        kernel = kernel.astype(compute_dtype)
-    out = jax.lax.conv_general_dilated(
-        x[:, None, :],
-        kernel,
-        window_strides=(hop_length,),
-        padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )  # (B, 2*n_bins, n_frames)
-    re = out[:, :n_bins, :]
-    im = out[:, n_bins:, :]
-    sq = jnp.transpose(re * re + im * im, (0, 2, 1))
+    basis = np.concatenate([cos_m, sin_m], axis=1)  # (frame_length, 2*n_bins)
+    n_frames = (x.shape[1] - frame_length) // hop_length + 1
+    n_chunks = -(-frame_length // hop_length)
+    # row stride of the chunk views is hop_length: pad so the last view fits
+    need = (n_chunks - 1) * hop_length + n_frames * hop_length
+    if need > x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    dt = compute_dtype if compute_dtype is not None else jnp.float32
+    acc = None
+    for k in range(n_chunks):
+        off = k * hop_length
+        length = min(hop_length, frame_length - off)
+        xk = x[:, off : off + n_frames * hop_length]
+        xk = xk.reshape(x.shape[0], n_frames, hop_length)[:, :, :length]
+        wk = jnp.asarray(basis[off : off + length].astype(np.float32))
+        part = jnp.dot(
+            xk.astype(dt), wk.astype(dt), preferred_element_type=jnp.float32
+        )
+        acc = part if acc is None else acc + part
+    re = acc[:, :, :n_bins]
+    im = acc[:, :, n_bins:]
+    sq = re * re + im * im
     if power == 2.0:
         return sq
     return jnp.sqrt(jnp.maximum(sq, 1e-30)) ** power
+
+
+def _fb_support_bins(fb: np.ndarray) -> int:
+    """Highest frequency bin with any mel-filter weight, rounded up to a
+    lane multiple — bins above fmax contribute nothing and can be dropped
+    from the DFT basis."""
+    nz = np.nonzero(np.any(fb != 0.0, axis=1))[0]
+    hi = int(nz[-1]) + 1 if len(nz) else fb.shape[0]
+    return min(fb.shape[0], -(-hi // 128) * 128)
+
+
+def log_mel_pallas(
+    audio,
+    *,
+    frame_length: int,
+    hop_length: int,
+    n_fft: int,
+    fb: np.ndarray,
+    window: str = "hann",
+    center: bool = True,
+    log_mode: str = "db",
+    log_offset: float = 0.01,
+    interpret: bool = False,
+):
+    """Fused log-mel frontend: framing -> windowed DFT -> power -> mel
+    projection -> log in one Pallas kernel (bf16 DFT matmul, f32 power/mel).
+
+    XLA computes the same chain at f32 matmul rate regardless of casts
+    (``--xla_allow_excess_precision`` folds bf16 downcasts away) and
+    round-trips the (B, frames, 2*n_bins) DFT output through HBM; here the
+    spectrum exists only in VMEM and the DFT basis is truncated to the mel
+    filterbank's support (fmax).  Used by the embedders on TPU; stft_power/
+    log_mel_spectrogram remain the reference XLA path (and the parity oracle).
+    """
+    import contextlib
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(audio, dtype=jnp.float32)
+    b = x.shape[0]
+    if center:
+        pad = frame_length // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (x.shape[1] - frame_length) // hop_length + 1
+    n_chunks = -(-frame_length // hop_length)
+    width = n_chunks * hop_length  # chunk-padded frame length
+    need = (n_chunks - 1) * hop_length + n_frames * hop_length
+    if need > x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+
+    cos_m, sin_m = _dft_matrices(frame_length, n_fft, window)
+    n_bins_keep = _fb_support_bins(fb)
+    basis = np.zeros((width, 2 * n_bins_keep), np.float32)
+    basis[:frame_length, :n_bins_keep] = cos_m[:, :n_bins_keep]
+    basis[:frame_length, n_bins_keep:] = sin_m[:, :n_bins_keep]
+    fb_t = np.ascontiguousarray(fb[:n_bins_keep].astype(np.float32))
+    n_mels = fb_t.shape[1]
+
+    # contiguous frames: concat n_chunks hop-strided views (the only
+    # materialized intermediate, in bf16)
+    xr = x.reshape(b, -1, hop_length)
+    frames = jnp.concatenate(
+        [xr[:, k : k + n_frames] for k in range(n_chunks)], axis=2
+    ).astype(jnp.bfloat16)
+    rows = b * n_frames
+    frames = frames.reshape(rows, width)
+
+    t = 1024 if rows >= 1024 else max(8, 1 << (rows - 1).bit_length())
+    pad_rows = (-rows) % t
+    if pad_rows:
+        frames = jnp.pad(frames, ((0, pad_rows), (0, 0)))
+
+    if log_mode == "db":
+        def logf(m):
+            return jnp.float32(10.0) * (
+                jnp.log(jnp.maximum(m, jnp.float32(1e-10)))
+                * jnp.float32(0.43429448190325176)
+            )
+    elif log_mode == "natural":
+        def logf(m):
+            return jnp.log(m + jnp.float32(log_offset))
+    else:
+        raise ValueError(f"unknown log_mode {log_mode!r}")
+
+    def kernel(fr_ref, basis_ref, fb_ref, out_ref):
+        p = jnp.dot(
+            fr_ref[:], basis_ref[:], preferred_element_type=jnp.float32
+        )
+        re = p[:, :n_bins_keep]
+        im = p[:, n_bins_keep:]
+        sq = re * re + im * im
+        mel = jnp.dot(sq, fb_ref[:], preferred_element_type=jnp.float32)
+        out_ref[:] = logf(mel)
+
+    if hasattr(jax, "enable_x64"):
+        scope = jax.enable_x64(False)
+    else:  # pragma: no cover
+        scope = contextlib.nullcontext()
+    with scope:
+        out = pl.pallas_call(
+            kernel,
+            grid=(frames.shape[0] // t,),
+            in_specs=[
+                pl.BlockSpec((t, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (width, 2 * n_bins_keep),
+                    lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n_bins_keep, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec((t, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((frames.shape[0], n_mels), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(frames, jnp.asarray(basis), jnp.asarray(fb_t))
+    return out[:rows].reshape(b, n_frames, n_mels)
 
 
 def log_mel_spectrogram(
@@ -223,18 +352,16 @@ def log_mel_spectrogram(
       - "db": 10*log10(max(mel, 1e-10))  (torchlibrosa LogmelFilterBank /
         HF power_to_db with ref=1, top_db=None) — CLAP convention
       - "natural": log(mel + log_offset) — VGGish convention
+
+    With ``compute_dtype=bfloat16`` on the TPU backend (and power=2), the
+    whole chain dispatches to the fused Pallas kernel (log_mel_pallas) —
+    XLA otherwise folds the bf16 casts away (--xla_allow_excess_precision)
+    and runs the DFT at f32 matmul rate with HBM round-trips between stages.
     """
-    spec = stft_power(
-        audio,
-        frame_length=frame_length,
-        hop_length=hop_length,
-        n_fft=n_fft,
-        center=center,
-        power=power,
-        compute_dtype=compute_dtype,
-    )
-    fb = mel_filter_bank(
-        num_frequency_bins=spec.shape[-1],
+    import os
+
+    fb_np = mel_filter_bank(
+        num_frequency_bins=(n_fft or frame_length) // 2 + 1,
         num_mel_filters=n_mels,
         min_frequency=float(fmin),
         max_frequency=float(fmax),
@@ -244,8 +371,34 @@ def log_mel_spectrogram(
         triangle_domain=triangle_domain,
         zero_dc=zero_dc,
     ).astype(np.float32)
+    if (
+        compute_dtype is not None
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+        and power == 2.0
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("AM_TPU_NO_PALLAS")
+    ):
+        return log_mel_pallas(
+            audio,
+            frame_length=frame_length,
+            hop_length=hop_length,
+            n_fft=n_fft or frame_length,
+            fb=fb_np,
+            center=center,
+            log_mode=log_mode,
+            log_offset=log_offset,
+        )
+    spec = stft_power(
+        audio,
+        frame_length=frame_length,
+        hop_length=hop_length,
+        n_fft=n_fft,
+        center=center,
+        power=power,
+        compute_dtype=compute_dtype,
+    )
     mel = jnp.einsum(
-        "btk,km->btm", spec, jnp.asarray(fb), preferred_element_type=jnp.float32
+        "btk,km->btm", spec, jnp.asarray(fb_np), preferred_element_type=jnp.float32
     )
     if log_mode == "db":
         return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))

@@ -1,0 +1,221 @@
+"""Interpret-mode parity tests for the fused model-path Pallas kernels.
+
+The TPU forward of the HTSAT tower uses three fused kernels
+(ops/attention.py, ops/mlp.py, ops/mel.py::log_mel_pallas); each must match
+its XLA reference implementation.  On CPU they run with interpret=True; the
+real-TPU behaviour is covered by the bench and by offline lowering (each
+kernel's pallas_call lowers for the tpu platform — checked here too).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_metrics_tpu.models.htsat import (
+    HTSAT_BASE,
+    _layer_norm,
+    _linear,
+    _relative_position_index,
+    _shift_attn_mask,
+    _window_attention,
+    _window_partition,
+    _window_reverse,
+    init_params,
+)
+from audio_metrics_tpu.ops.attention import swin_attention_block_pallas
+from audio_metrics_tpu.ops.mel import (
+    log_mel_pallas,
+    log_mel_spectrogram,
+    mel_filter_bank,
+)
+from audio_metrics_tpu.ops.mlp import mlp_block_pallas
+
+cfg = HTSAT_BASE
+
+
+def _prep_attention_weights(params, pre, heads, c, window, shift, res):
+    d = c // heads
+    scale = 1.0 / np.sqrt(d)
+    get = lambda k: np.asarray(params[k], np.float32)
+    wq = get(f"{pre}.attention.self.query.weight").T.reshape(c, heads, d)
+    wq = (wq * scale).transpose(1, 0, 2)
+    wk = get(f"{pre}.attention.self.key.weight").T.reshape(c, heads, d).transpose(1, 0, 2)
+    wv = get(f"{pre}.attention.self.value.weight").T.reshape(c, heads, d).transpose(1, 0, 2)
+    wp = get(f"{pre}.attention.output.dense.weight").T.reshape(heads, d, c)
+    bq = get(f"{pre}.attention.self.query.bias").reshape(heads, d) * scale
+    bv = get(f"{pre}.attention.self.value.bias").reshape(heads, d)
+    bp = get(f"{pre}.attention.output.dense.bias") + np.einsum("hd,hdc->c", bv, wp)
+    table = get(f"{pre}.attention.self.relative_position_bias_table")
+    idx = _relative_position_index(window).reshape(-1)
+    n = window * window
+    bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+    if shift:
+        bm = bias[None] + _shift_attn_mask(res, res, window, shift)[:, None]
+    else:
+        bm = bias[None]
+    return tuple(jnp.asarray(a, jnp.float32) for a in (wq, bq, wk, wv, wp, bp, bm))
+
+
+@pytest.mark.parametrize("stage,shift", [(0, 0), (0, 4), (1, 4), (2, 4), (3, 0)])
+def test_attention_block_kernel_matches_xla(stage, shift):
+    rng = np.random.default_rng(stage * 10 + shift)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = min(cfg.window_size, res)
+    if res <= window:
+        shift = 0
+    pre = f"audio_encoder.layers.{stage}.blocks.0"
+    B = 4
+    x = jnp.asarray(rng.normal(size=(B, res * res, c)).astype(np.float32))
+
+    # XLA reference: the attention half of _swin_block
+    sc = x
+    hx = _layer_norm(
+        x,
+        params[f"{pre}.layernorm_before.weight"],
+        params[f"{pre}.layernorm_before.bias"],
+        cfg.layer_norm_eps,
+    ).reshape(B, res, res, c)
+    attn_mask = None
+    if shift:
+        hx = jnp.roll(hx, shift=(-shift, -shift), axis=(1, 2))
+        attn_mask = _shift_attn_mask(res, res, window, shift)
+    wins = _window_partition(hx, window)
+    wins = _window_attention(wins, params, f"{pre}.attention", heads, window, attn_mask)
+    hx = _window_reverse(wins, window, res, res)
+    if shift:
+        hx = jnp.roll(hx, shift=(shift, shift), axis=(1, 2))
+    ref = sc + hx.reshape(B, res * res, c)
+
+    wq, bq, wk, wv, wp, bp, bm = _prep_attention_weights(
+        params, pre, heads, c, window, shift, res
+    )
+    out = swin_attention_block_pallas(
+        x.reshape(B, res, res, c),
+        params[f"{pre}.layernorm_before.weight"].astype(jnp.float32),
+        params[f"{pre}.layernorm_before.bias"].astype(jnp.float32),
+        wq,
+        bq,
+        wk,
+        wv,
+        wp,
+        bp,
+        bm,
+        heads,
+        window,
+        shift,
+        eps=cfg.layer_norm_eps,
+        interpret=True,
+    ).reshape(B, res * res, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_attention_block_kernel_lowers_for_tpu():
+    from functools import partial
+
+    from audio_metrics_tpu.ops.attention import _attn_block_call
+
+    x = jnp.zeros((8, 64, 64, 128), jnp.bfloat16)
+    ln = jnp.zeros((128,), jnp.float32)
+    wq = jnp.zeros((4, 128, 32), jnp.bfloat16)
+    bq = jnp.zeros((4, 32), jnp.float32)
+    wp = jnp.zeros((4, 32, 128), jnp.bfloat16)
+    bp = jnp.zeros((128,), jnp.float32)
+    bm = jnp.zeros((64, 4, 64, 64), jnp.float32)
+    with jax.enable_x64(False):
+        jax.jit(
+            partial(_attn_block_call, heads=4, window=8, shift=4, eps=1e-5, interpret=False)
+        ).trace(x, ln, ln, wq, bq, wq, wq, wp, bp, bm).lower(lowering_platforms=("tpu",))
+
+
+def test_mlp_block_kernel_matches_xla():
+    rng = np.random.default_rng(7)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(4, 256, c)).astype(np.float32))
+    lnw = jnp.asarray(rng.normal(size=c).astype(np.float32))
+    lnb = jnp.asarray(rng.normal(size=c).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(scale=0.05, size=(c, 4 * c)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=4 * c).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(scale=0.05, size=(4 * c, c)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=c).astype(np.float32))
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x - mu) / jnp.sqrt(var + 1e-5) * lnw + lnb
+    ref = x + (jax.nn.gelu(xn @ w1 + b1, approximate=False) @ w2 + b2)
+
+    out = mlp_block_pallas(x, lnw, lnb, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "conv",
+    [
+        dict(  # CLAP convention
+            sr=48000, frame=1024, hop=480, n_fft=1024, n_mels=64, fmin=50,
+            fmax=14000, center=True, norm="slaney", scale="slaney",
+            domain="hz", zero_dc=False, log_mode="db",
+        ),
+        dict(  # VGGish convention
+            sr=16000, frame=400, hop=160, n_fft=512, n_mels=64, fmin=125,
+            fmax=7500, center=False, norm=None, scale="htk",
+            domain="mel", zero_dc=True, log_mode="natural",
+        ),
+    ],
+    ids=["clap", "vggish"],
+)
+def test_log_mel_pallas_matches_xla(conv):
+    rng = np.random.default_rng(3)
+    a = jnp.asarray((0.2 * rng.normal(size=(3, conv["sr"]))).astype(np.float32))
+    ref = log_mel_spectrogram(
+        a,
+        sampling_rate=conv["sr"],
+        frame_length=conv["frame"],
+        hop_length=conv["hop"],
+        n_mels=conv["n_mels"],
+        fmin=conv["fmin"],
+        fmax=conv["fmax"],
+        n_fft=conv["n_fft"],
+        center=conv["center"],
+        power=2.0,
+        mel_norm=conv["norm"],
+        mel_scale=conv["scale"],
+        triangle_domain=conv["domain"],
+        zero_dc=conv["zero_dc"],
+        log_mode=conv["log_mode"],
+    )
+    fb = mel_filter_bank(
+        conv["n_fft"] // 2 + 1,
+        conv["n_mels"],
+        float(conv["fmin"]),
+        float(conv["fmax"]),
+        conv["sr"],
+        norm=conv["norm"],
+        mel_scale=conv["scale"],
+        triangle_domain=conv["domain"],
+        zero_dc=conv["zero_dc"],
+    ).astype(np.float32)
+    out = log_mel_pallas(
+        a,
+        frame_length=conv["frame"],
+        hop_length=conv["hop"],
+        n_fft=conv["n_fft"],
+        fb=fb,
+        center=conv["center"],
+        log_mode=conv["log_mode"],
+        interpret=True,
+    )
+    assert out.shape == ref.shape
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    # bf16 frame quantization: tiny absolute dB error except at silent bins
+    assert np.mean(d) < 0.02
+    assert np.max(d) < 0.5
