@@ -72,6 +72,19 @@ def batch_moments(embeddings, mask=None):
     return n, s1, m2
 
 
+def _batch_moments_jit(e):
+    """Module-level cached jit of batch_moments (per-call jax.jit wrappers
+    retrace every call)."""
+    global _BATCH_MOMENTS_JIT
+    try:
+        fn = _BATCH_MOMENTS_JIT
+    except NameError:
+        import jax
+
+        fn = _BATCH_MOMENTS_JIT = jax.jit(batch_moments)
+    return fn(e)
+
+
 class AudioMetricsData:
     """Streaming mean / covariance (+ optional raw embeddings) per category.
 
@@ -162,29 +175,57 @@ class AudioMetricsData:
     # embeddings access
     # ------------------------------------------------------------------
     @property
+    def has_embeddings(self) -> bool:
+        """Existence check WITHOUT materializing (``.embeddings is not None``
+        would pull every device chunk to host just to answer a boolean)."""
+        return bool(self._embedding_chunks)
+
+    @property
     def embeddings(self) -> np.ndarray | None:
+        """Host (numpy) view of the stored embeddings.
+
+        Chunks may be numpy or device-resident jax arrays (the embedding
+        pipeline stores device chunks so nothing round-trips the
+        host<->device link); the device->host pull happens here, only when a
+        host consumer (serialization, PCA fit, user access) actually asks.
+        """
         if not self._embedding_chunks:
             return None
         if self._embeddings_cat is None:
-            if len(self._embedding_chunks) == 1:
-                self._embeddings_cat = self._embedding_chunks[0]
+            if any(not isinstance(c, np.ndarray) for c in self._embedding_chunks):
+                import jax
+
+                # concat on device, pull ONCE (per-chunk pulls are serial
+                # sync round-trips on remote-device links)
+                self._embeddings_cat = np.asarray(
+                    jax.device_get(self.embeddings_device), dtype=np.float32
+                )
+            elif len(self._embedding_chunks) == 1:
+                self._embeddings_cat = np.asarray(
+                    self._embedding_chunks[0], dtype=np.float32
+                )
             else:
                 self._embeddings_cat = np.concatenate(self._embedding_chunks, axis=0)
-                self._embedding_chunks = [self._embeddings_cat]
-            self._embeddings_dev = None
         return self._embeddings_cat
 
     @property
     def embeddings_device(self):
-        """Device-resident copy of the stored embeddings, cached so the
-        KD/PRDC kernels share one upload instead of re-staging per call."""
-        e = self.embeddings
-        if e is None:
+        """Device-resident concatenation of the stored embeddings, cached so
+        the KD/PRDC kernels share one copy.  Device chunks concatenate on
+        device — no host round-trip."""
+        if not self._embedding_chunks:
             return None
         if getattr(self, "_embeddings_dev", None) is None:
             import jax.numpy as jnp
 
-            self._embeddings_dev = jnp.asarray(e)
+            if self._embeddings_cat is not None:
+                self._embeddings_dev = jnp.asarray(self._embeddings_cat)
+            elif len(self._embedding_chunks) == 1:
+                self._embeddings_dev = jnp.asarray(self._embedding_chunks[0])
+            else:
+                self._embeddings_dev = jnp.concatenate(
+                    [jnp.asarray(c) for c in self._embedding_chunks], axis=0
+                )
         return self._embeddings_dev
 
     @embeddings.setter
@@ -197,10 +238,29 @@ class AudioMetricsData:
         self._embeddings_dev = None
 
     def recompute_stats(self) -> None:
-        """Recompute exact stats from stored embeddings (reference data.py:49-58)."""
-        e = self.embeddings
-        if e is None:
+        """Recompute exact stats from stored embeddings (reference data.py:49-58).
+
+        When the chunks are device-resident, the O(N d^2) moment reduction
+        runs on device (centered f32 moments, f64 finals) and only (d,)+(d,d)
+        leave the chip — pulling N x d embeddings through the host link just
+        to re-reduce them would dominate the pipeline on slow interconnects.
+        """
+        if not self._embedding_chunks:
             return
+        if self._embeddings_cat is None and not any(
+            isinstance(c, np.ndarray) for c in self._embedding_chunks
+        ):
+            e = self.embeddings_device
+            n, s1, m2 = _batch_moments_jit(e)
+            self.n = int(e.shape[0])
+            self.mean = ensure_ndarray(s1).astype(self.dtype) / self.n
+            if self.n == 1:
+                d = int(e.shape[-1])
+                self.cov = np.zeros((d, d), dtype=self.dtype)
+            else:
+                self.cov = ensure_ndarray(m2).astype(self.dtype) / (self.n - 1)
+            return
+        e = self.embeddings
         self.n = len(e)
         ef = e.astype(np.float64)
         self.mean = ef.mean(axis=0)
@@ -215,11 +275,11 @@ class AudioMetricsData:
         """k-NN radii of the stored embeddings, cached per k (data.py:60-66)."""
         key = f"radii_{k_neighbor}"
         radii = self.radii.get(key)
-        if radii is None and self.embeddings is not None:
+        if radii is None and self.has_embeddings:
             from .metrics.prdc import nearest_neighbour_distances
 
             radii = ensure_ndarray(
-                nearest_neighbour_distances(self.embeddings, k_neighbor)
+                nearest_neighbour_distances(self.embeddings_device, k_neighbor)
             )
             self.radii[key] = radii
         return radii
@@ -238,8 +298,9 @@ class AudioMetricsData:
             self.store_embeddings = other.store_embeddings
         assert self.store_embeddings == other.store_embeddings
         self._update_stats(other.mean, other.cov, other.n)
-        if self.store_embeddings and other.embeddings is not None:
-            self._embedding_chunks.append(other.embeddings)
+        if self.store_embeddings and other._embedding_chunks:
+            # adopt chunks as-is: device chunks stay on device
+            self._embedding_chunks.extend(other._embedding_chunks)
             self._embeddings_cat = None
             self._embeddings_dev = None
         return self

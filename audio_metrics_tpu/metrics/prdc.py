@@ -258,15 +258,16 @@ def prdc(reference, candidate, nearest_k: int, mesh=None) -> dict:
         # compute (and cache) radii with the sharded path
         for amd in (reference, candidate):
             key = f"radii_{nearest_k}"
-            if amd.radii.get(key) is None and amd.embeddings is not None:
+            if amd.radii.get(key) is None and amd.has_embeddings:
                 amd.radii[key] = nearest_neighbour_distances(
                     amd.embeddings, nearest_k, mesh=mesh
                 )
     # radii computed from the (cached) device-resident embeddings so the
-    # kNN and stats kernels share a single upload
+    # kNN and stats kernels share a single copy; existence checks must not
+    # pull chunks to host
     for amd in (reference, candidate):
         key = f"radii_{nearest_k}"
-        if amd.radii.get(key) is None and amd.embeddings is not None:
+        if amd.radii.get(key) is None and amd.has_embeddings:
             amd.radii[key] = nearest_neighbour_distances(
                 amd.embeddings_device, nearest_k
             )

@@ -232,8 +232,18 @@ def _category_moments(embedding, category, valid, wanted: tuple[int, ...]):
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _merge_moments_jit(acc, new):
+@partial(jax.jit, static_argnames=("cats",), donate_argnums=(0,))
+def _moments_merge_jit(acc, emb, cat, val, cats: tuple[int, ...]):
+    """Per-batch moments + accumulator merge in ONE dispatch (dispatch
+    latency through remote-device links is material at small batch counts)."""
+    new = {}
+    for c in cats:
+        mask = jnp.logical_and(cat == c, val)
+        new[c] = batch_moments(emb, mask)
+    return _merge_moments(acc, new)
+
+
+def _merge_moments(acc, new):
     """Chan/parallel combine of (n, sum_x, centered-M2) pytrees in f64.
 
     Keeps the running accumulator ON DEVICE across the whole pipeline run —
@@ -258,6 +268,9 @@ def _merge_moments_jit(acc, new):
         m_t = m1 + m2 + w * jnp.outer(d, d)
         out[c] = (n_t, s1 + s2, m_t)
     return out
+
+
+_merge_moments_jit = partial(jax.jit, donate_argnums=(0,))(_merge_moments)
 
 
 def _device_mix(mix_function, audio, sr):
@@ -460,14 +473,32 @@ def embedding_pipeline(
 
         embedding = embedder.forward({"audio": mono})["embedding"]
 
-        moments = _category_moments(embedding, category, valid, all_cats)
-        acc = moments if acc is None else _merge_moments_jit(acc, moments)
+        if acc is None:
+            acc = _category_moments(embedding, category, valid, all_cats)
+        else:
+            acc = _moments_merge_jit(
+                acc,
+                jnp.asarray(embedding),
+                jnp.asarray(category),
+                jnp.asarray(valid),
+                all_cats,
+            )
 
         for c in stored:
             if c in wanted:
                 mask = (category == c) & valid
-                if mask.any():
-                    stored[c].append((embedding, mask))
+                n_sel = int(mask.sum())
+                if n_sel:
+                    if mask[:n_sel].all():
+                        # contiguous prefix (stems / device-resident paths):
+                        # keep the rows ON DEVICE — a lazy static slice, no
+                        # host round-trip (the host link is often the
+                        # bottleneck; embeddings are consumed on device by
+                        # KD/PRDC/recompute_stats anyway)
+                        stored[c].append(embedding[:n_sel])
+                    else:
+                        # interleaved categories (APA pair batches)
+                        stored[c].append(ensure_ndarray(embedding)[mask])
 
     if acc is not None:
         acc_host = jax.device_get(acc)
@@ -475,10 +506,11 @@ def embedding_pipeline(
             metrics_data[ItemCategory(c)].add_moments(n, s1, m2)
     for c, chunks in stored.items():
         amd = metrics_data[ItemCategory(c)]
-        for embedding, mask in chunks:
-            rows = ensure_ndarray(embedding)[mask]
-            amd._embedding_chunks.append(np.array(rows, dtype=np.float32))
-            amd._embeddings_cat = None
-            amd._embeddings_dev = None
+        for rows in chunks:
+            if isinstance(rows, np.ndarray):
+                rows = rows.astype(np.float32, copy=False)
+            amd._embedding_chunks.append(rows)
+        amd._embeddings_cat = None
+        amd._embeddings_dev = None
 
     return metrics_data

@@ -23,7 +23,7 @@ import numpy as np
 os.environ.setdefault("AM_TPU_NATIVE_LOADER", "1")
 os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
 
-N_CLIPS = int(os.environ.get("BENCH_CLIPS", "512"))
+N_CLIPS = int(os.environ.get("BENCH_CLIPS", "2048"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "128"))
 BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
