@@ -25,6 +25,19 @@ class Embedder:
     def forward(self, data: dict) -> dict:
         raise NotImplementedError
 
+    @property
+    def embed_fn(self):
+        """Optional pure function ``(params, (batch, n_samples)) -> (batch,
+        d)`` that is traceable under jit (no host logic).  When an embedder
+        provides it, the pipeline's device-resident path fuses the whole
+        batch loop — slicing, forward, moment accumulation, embedding store —
+        into ONE jitted program (one dispatch per eval set instead of several
+        per batch; dispatch latency dominates on remote-device links).
+        ``params`` is the embedder's ``.params`` pytree, passed as a jit
+        ARGUMENT (closure-captured weights would bake into the HLO as
+        constants).  Return None when the forward needs host-side handling."""
+        return None
+
     def __call__(self, data: dict) -> dict:
         return self.forward(data)
 

@@ -188,6 +188,20 @@ class LaionCLAP(Embedder):
     def sr(self) -> int:
         return SAMPLE_RATE
 
+    @property
+    def embed_fn(self):
+        """Pure (B, n<=10s) -> (B, 512) forward for the pipeline's fused
+        device-resident loop (repeat-pad happens in-trace; the host-side
+        rand_trunc crop only applies to >10 s inputs, which the windowed
+        pipeline never produces)."""
+
+        cfg, dt, layer = self.cfg, self.compute_dtype, self.layer or "embedding"
+
+        def fn(params, audio):
+            return _clap_forward(params, audio, cfg, dt)[layer]
+
+        return fn
+
     def forward(self, data: dict) -> dict:
         audio = data["audio"]
         if audio.ndim == 1:

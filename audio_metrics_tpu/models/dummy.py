@@ -36,3 +36,7 @@ class DummyEmbedder(Embedder):
 
     def forward(self, data: dict) -> dict:
         return {"embedding": _dummy_embed(jnp.asarray(data["audio"]))}
+
+    @property
+    def embed_fn(self):
+        return lambda params, audio: _dummy_embed(audio)

@@ -186,6 +186,18 @@ class VGGish(Embedder):
     def sr(self) -> int:
         return SAMPLE_RATE
 
+    @property
+    def embed_fn(self):
+        """Pure (B, n) -> (B, 128) forward for the pipeline's fused
+        device-resident loop."""
+
+        dt = self.compute_dtype
+
+        def fn(params, audio):
+            return _embed(params, audio, dt)
+
+        return fn
+
     def forward(self, data: dict) -> dict:
         audio = jnp.asarray(data["audio"], dtype=jnp.float32)
         if audio.ndim == 1:

@@ -188,6 +188,69 @@ def _slice_batch_jit(windows, start, size: int):
     return jax.lax.dynamic_slice_in_dim(windows, start, size, axis=0)
 
 
+def _get_fused_embed_loop(embedder, batch_size: int):
+    """ONE jitted program for an entire device-resident eval set: a
+    lax.fori_loop over batches runs the embedder forward, accumulates the
+    f64 Chan-merged moments in-carry, and writes embeddings into a
+    preallocated buffer.  One dispatch + one tiny host pull per set, vs
+    several dispatches per batch — dispatch latency dominates the pipeline
+    on remote-device links.  Cached per (embedder, batch_size); jit caches
+    per windows shape."""
+    cache = getattr(embedder, "_am_fused_loops", None)
+    if cache is None:
+        cache = embedder._am_fused_loops = {}
+    loop = cache.get(batch_size)
+    if loop is not None:
+        return loop
+    embed_fn = embedder.embed_fn
+
+    @jax.jit
+    def loop(params, windows_padded, n_valid):
+        n_pad, win_len = windows_padded.shape
+        n_batches = n_pad // batch_size
+        out_shape = jax.eval_shape(
+            lambda a: embed_fn(params, a),
+            jax.ShapeDtypeStruct((batch_size, win_len), jnp.float32),
+        )
+        d = out_shape.shape[-1]
+
+        def body(i, carry):
+            buf, n_a, s1_a, m2_a = carry
+            audio = jax.lax.dynamic_slice_in_dim(
+                windows_padded, i * batch_size, batch_size, axis=0
+            )
+            emb = embed_fn(params, audio).astype(jnp.float32)
+            mask = (
+                i * batch_size
+                + jax.lax.broadcasted_iota(jnp.int32, (batch_size, 1), 0)[:, 0]
+            ) < n_valid
+            n, s1, m2 = batch_moments(emb, mask)
+            # f32 Chan merge in-carry (emulated f64 elementwise is ~100x slow
+            # on TPU for the (d, d) outer-product updates); the centered-M2
+            # form keeps f32 accurate here, f64 finals happen on host
+            n_t = n_a + n
+            mean1 = s1_a / jnp.maximum(n_a, 1.0)
+            mean2 = s1 / jnp.maximum(n, 1.0)
+            dm = mean2 - mean1
+            w = jnp.where(n_t > 0, n_a * n / jnp.maximum(n_t, 1.0), 0.0)
+            m2_t = m2_a + m2 + w * jnp.outer(dm, dm)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, emb, i * batch_size, axis=0
+            )
+            return buf, n_t, s1_a + s1, m2_t
+
+        init = (
+            jnp.zeros((n_pad, d), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((d,), jnp.float32),
+            jnp.zeros((d, d), jnp.float32),
+        )
+        return jax.lax.fori_loop(0, n_batches, body, init)
+
+    cache[batch_size] = loop
+    return loop
+
+
 def _device_array_batches(windows, win_len, batch_size):
     """Batches from a device-resident input: (N, n_samples) jax array of mono
     stems.  Slicing/reshaping happens on device — nothing round-trips to
@@ -366,6 +429,34 @@ def embedding_pipeline(
         and stems_mode
         and not need_resample
     )
+    if (
+        device_resident
+        and embedder.embed_fn is not None
+        and (mesh is None or getattr(mesh, "size", 1) <= 1)
+    ):
+        win_len = window_length(in_sr, win_dur)
+        n_per_item = waveforms.shape[1] // win_len
+        if n_per_item >= 1:
+            w = waveforms
+            if w.shape[1] != win_len:
+                w = w[:, : n_per_item * win_len].reshape(-1, win_len)
+            n = w.shape[0]
+            pad = (-n) % batch_size
+            if pad:
+                w = jnp.pad(w, ((0, pad), (0, 0)))
+            loop = _get_fused_embed_loop(embedder, batch_size)
+            buf, nn, s1, m2 = loop(
+                getattr(embedder, "params", {}), w, jnp.asarray(n, jnp.int32)
+            )
+            amd = AudioMetricsData(store_stem_embeddings)
+            nn_h, s1_h, m2_h = jax.device_get((nn, s1, m2))
+            amd.add_moments(nn_h, s1_h, m2_h)
+            if store_stem_embeddings:
+                amd._embedding_chunks.append(buf[:n])
+                amd._embeddings_cat = None
+                amd._embeddings_dev = None
+            return {ItemCategory.stem: amd}
+
     if device_resident:
         batches = _device_array_batches(
             waveforms, window_length(in_sr, win_dur), batch_size
