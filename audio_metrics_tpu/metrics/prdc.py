@@ -262,25 +262,49 @@ def prdc(reference, candidate, nearest_k: int, mesh=None) -> dict:
                 amd.radii[key] = nearest_neighbour_distances(
                     amd.embeddings, nearest_k, mesh=mesh
                 )
-    # radii computed from the (cached) device-resident embeddings so the
-    # kNN and stats kernels share a single copy; existence checks must not
-    # pull chunks to host
-    for amd in (reference, candidate):
-        key = f"radii_{nearest_k}"
-        if amd.radii.get(key) is None and amd.has_embeddings:
-            amd.radii[key] = nearest_neighbour_distances(
-                amd.embeddings_device, nearest_k
-            )
-    ref_radii = ensure_ndarray(reference.get_radii(nearest_k))
-    cand_radii = ensure_ndarray(candidate.get_radii(nearest_k))
+    key = f"radii_{nearest_k}"
+    fused = None
+    if (
+        _try_pallas()
+        and reference.radii.get(key) is None
+        and candidate.radii.get(key) is None
+        and reference.has_embeddings
+        and candidate.has_embeddings
+    ):
+        # cold caches (the common evaluate path): radii + pairwise sweeps in
+        # ONE jitted program with a single host sync — radii never round-trip
+        # the host between the kNN and stats kernels
+        from ..ops.distance import prdc_all_pallas
 
-    cand_any, cand_count, ref_any, ref_min = pairwise_distance_stats(
-        reference.embeddings_device,
-        candidate.embeddings_device,
-        ref_radii,
-        cand_radii,
-        nearest_k,
-    )
+        try:
+            fused = prdc_all_pallas(
+                reference.embeddings_device, candidate.embeddings_device, nearest_k
+            )
+        except Exception as exc:
+            _pallas_failed(exc)
+    if fused is not None:
+        ref_radii, cand_radii, cand_any, cand_count, ref_any, ref_min = fused
+        reference.radii[key] = ref_radii
+        candidate.radii[key] = cand_radii
+    else:
+        # radii computed from the (cached) device-resident embeddings so the
+        # kNN and stats kernels share a single copy; existence checks must
+        # not pull chunks to host
+        for amd in (reference, candidate):
+            if amd.radii.get(key) is None and amd.has_embeddings:
+                amd.radii[key] = nearest_neighbour_distances(
+                    amd.embeddings_device, nearest_k
+                )
+        ref_radii = ensure_ndarray(reference.get_radii(nearest_k))
+        cand_radii = ensure_ndarray(candidate.get_radii(nearest_k))
+
+        cand_any, cand_count, ref_any, ref_min = pairwise_distance_stats(
+            reference.embeddings_device,
+            candidate.embeddings_device,
+            ref_radii,
+            cand_radii,
+            nearest_k,
+        )
 
     precision = float(np.mean(cand_any.astype(np.float64)))
     recall = float(np.mean(ref_any.astype(np.float64)))

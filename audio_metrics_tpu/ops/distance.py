@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["knn_radii_pallas", "pairwise_stats_pallas"]
+__all__ = ["knn_radii_pallas", "pairwise_stats_pallas", "prdc_all_pallas"]
 
 
 def _x32_scope():
@@ -281,6 +281,34 @@ def _stats_calls(ref, cand, rr_in, cr_in, interpret: bool):
         ref_any[:n_ref, 0] > 0,
         ref_min[:n_ref, 0],
     )
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _prdc_all_call(ref, cand, k: int, interpret: bool):
+    """Both k-NN radii sweeps AND both PRDC pairwise sweeps in one jitted
+    program: the radii never leave the device between the kNN and stats
+    kernels, and the caller syncs once for all six outputs (each separate
+    dispatch/pull is a full round-trip on remote-device links)."""
+    ref_radii = _knn_call(ref, min(k + 1, ref.shape[0]), interpret)
+    cand_radii = _knn_call(cand, min(k + 1, cand.shape[0]), interpret)
+    cand_any, cand_count, ref_any, ref_min = _stats_calls(
+        ref, cand, ref_radii, cand_radii, interpret
+    )
+    return ref_radii, cand_radii, cand_any, cand_count, ref_any, ref_min
+
+
+def prdc_all_pallas(reference, candidate, nearest_k: int, interpret: bool = False):
+    """Fused PRDC device pass: returns (ref_radii, cand_radii, cand_in_ref_any,
+    cand_in_ref_count, ref_in_cand_any, ref_min_dist) as numpy arrays with a
+    single host sync.  Semantics match knn_radii_pallas + pairwise_stats_pallas
+    (reference prdc.py:4-50)."""
+    with _x32_scope():
+        out = _prdc_all_call(
+            jnp.asarray(reference), jnp.asarray(candidate), int(nearest_k), interpret
+        )
+        host = jax.device_get(out)
+    rr, cr, ca, cc, ra, rm = (np.asarray(a) for a in host)
+    return rr, cr, ca, cc.astype(np.int64), ra, rm
 
 
 def pairwise_stats_pallas(

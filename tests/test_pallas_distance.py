@@ -35,3 +35,29 @@ def test_pairwise_stats_matches_xla():
     np.testing.assert_array_equal(got[1], want[1])  # cand_count
     np.testing.assert_array_equal(got[2], want[2])  # ref_any
     np.testing.assert_allclose(got[3], want[3], rtol=1e-5, atol=1e-6)  # ref_min
+
+
+def test_prdc_all_fused_matches_separate_kernels():
+    """The single-dispatch fused PRDC pass (radii + sweeps in one jit) must
+    match the separate kernels exactly."""
+    import numpy as np
+    from audio_metrics_tpu.ops.distance import (
+        knn_radii_pallas,
+        pairwise_stats_pallas,
+        prdc_all_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    ref = rng.normal(size=(300, 48)).astype(np.float32)
+    cand = rng.normal(size=(450, 48)).astype(np.float32)
+    k = 5
+    rr, cr, ca, cc, ra, rm = prdc_all_pallas(ref, cand, k, interpret=True)
+    rr0 = knn_radii_pallas(ref, k, interpret=True)
+    cr0 = knn_radii_pallas(cand, k, interpret=True)
+    ca0, cc0, ra0, rm0 = pairwise_stats_pallas(ref, cand, rr0, cr0, interpret=True)
+    np.testing.assert_allclose(rr, rr0)
+    np.testing.assert_allclose(cr, cr0)
+    np.testing.assert_array_equal(ca, ca0)
+    np.testing.assert_array_equal(cc, cc0)
+    np.testing.assert_array_equal(ra, ra0)
+    np.testing.assert_allclose(rm, rm0)

@@ -75,3 +75,29 @@ def test_device_resident_multiwindow_items():
     np.testing.assert_allclose(
         r_host[ItemCategory.stem].mean, r_dev[ItemCategory.stem].mean, rtol=1e-6
     )
+
+def test_device_resident_without_embed_fn_falls_back():
+    """Embedders without a pure embed_fn must still work with device-resident
+    inputs (per-batch path instead of the fused loop)."""
+    import jax.numpy as jnp
+    from audio_metrics_tpu.models.dummy import _dummy_embed
+
+    class HostDummy(DummyEmbedder):
+        @property
+        def embed_fn(self):
+            return None
+
+    rng = np.random.default_rng(3)
+    data = (0.4 * rng.normal(size=(9, 5 * 16000))).astype(np.float32)
+    kwargs = dict(
+        mix_function=mix_func,
+        stems_mode=True,
+        store_stem_embeddings=True,
+        batch_size=4,
+    )
+    r_fused = embedding_pipeline(jnp.asarray(data), embedder=DummyEmbedder(), **kwargs)
+    r_plain = embedding_pipeline(jnp.asarray(data), embedder=HostDummy(), **kwargs)
+    a, b = r_fused[ItemCategory.stem], r_plain[ItemCategory.stem]
+    assert a.n == b.n == 9
+    np.testing.assert_allclose(a.embeddings, b.embeddings, rtol=1e-6)
+    np.testing.assert_allclose(a.cov, b.cov, rtol=1e-4, atol=1e-7)
