@@ -13,7 +13,7 @@ Public API mirrors the reference (src/audio_metrics/__init__.py:8):
 
 import os
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Double precision is required for distribution statistics (the reference
 # accumulates mean/covariance in torch.float64, data.py:27) and for the f64
@@ -24,6 +24,21 @@ if not os.environ.get("AM_TPU_NO_X64"):
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the CLAP forward takes tens of seconds
+# to compile per process; a disk cache amortizes it across runs.  Set
+# AM_TPU_COMPILE_CACHE to a directory (or "1" for the default location).
+_cache = os.environ.get("AM_TPU_COMPILE_CACHE")
+if _cache:
+    import jax
+
+    if _cache == "1":
+        _cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "audio_metrics_tpu", "xla_cache"
+        )
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .audio_metrics import AudioMetrics  # noqa: E402
 from .data import AudioMetricsData  # noqa: E402

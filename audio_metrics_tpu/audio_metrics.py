@@ -50,14 +50,20 @@ class AudioMetrics:
         embedder=None,
         mix_function=None,
         win_dur=5.0,
+        hop_dur=None,
         input_sr=None,
         batch_size=32,
         progress=False,
     ):
+        """``hop_dur`` (seconds) enables overlapping windows (hop < win);
+        default None means non-overlapping, the reference behaviour (its
+        ``audio_slicer`` supports a hop too but never exposes it,
+        reference util/audio.py:4-9)."""
         self.mesh = self._get_mesh(device_indices)
         self.metrics = metrics
         self.need_apa = "apa" in self.metrics
         self.win_dur = win_dur
+        self.hop_dur = hop_dur
         self.input_sr = input_sr
         self.batch_size = batch_size
         self.progress = progress
@@ -159,6 +165,7 @@ class AudioMetrics:
             store_stem_embeddings=self.store_stem_embeddings,
             batch_size=self.batch_size,
             win_dur=self.win_dur,
+            hop_dur=self.hop_dur,
             input_sr=self.input_sr,
             mesh=self.mesh,
             progress=self.progress,
@@ -305,6 +312,7 @@ class AudioMetrics:
     def save_state(self, fp: str | Path) -> None:
         state = {
             "win_dur": self.win_dur,
+            "hop_dur": self.hop_dur,
             "input_sr": self.input_sr,
             "batch_size": self.batch_size,
             "metrics": list(self.metrics),

@@ -124,24 +124,27 @@ def _kd_gram(a, b, kernel_type, degree, gamma, coef0, sigma):
 
 
 def _kd_one_subset(f1, f2, idx_pair, kparams):
-    """Per-subset f32 row sums + diagonals; the f64 final reductions run on
-    host (numpy) — emulated f64 on TPU is orders of magnitude slower, and
-    f32 tree-reduced row sums lose nothing over m entries."""
+    """Per-subset reductions: f32 row sums on the VPU, then f64 scalar
+    finals ON DEVICE (the per-subset f64 work is tiny — m adds — while
+    pulling the (subsets, m) row-sum arrays to host costs ~2 MB of sync
+    transfer per call on remote-device links).  Returns the three f64
+    scalars mmd2 needs: sum(K_XX)-tr, sum(K_YY)-tr, sum(K_XY)."""
     import jax.numpy as jnp
 
     ia, ib = idx_pair
-    a = jnp.take(f1, ia, axis=0)
-    b = jnp.take(f2, ib, axis=0)
+    a = jnp.take(f1, ia.astype(jnp.int32), axis=0)
+    b = jnp.take(f2, ib.astype(jnp.int32), axis=0)
     k_xx = _kd_gram(a, a, *kparams)
     k_yy = _kd_gram(b, b, *kparams)
     k_xy = _kd_gram(a, b, *kparams)
-    return (
-        jnp.sum(k_xx, axis=1),
-        jnp.diagonal(k_xx),
-        jnp.sum(k_yy, axis=1),
-        jnp.diagonal(k_yy),
-        jnp.sum(k_xy, axis=1),
+    kt_xx = jnp.sum(jnp.sum(k_xx, axis=1).astype(jnp.float64)) - jnp.sum(
+        jnp.diagonal(k_xx).astype(jnp.float64)
     )
+    kt_yy = jnp.sum(jnp.sum(k_yy, axis=1).astype(jnp.float64)) - jnp.sum(
+        jnp.diagonal(k_yy).astype(jnp.float64)
+    )
+    k_xy_sum = jnp.sum(jnp.sum(k_xy, axis=1).astype(jnp.float64))
+    return kt_xx, kt_yy, k_xy_sum
 
 
 def _kd_rows_jit():
@@ -162,8 +165,8 @@ def _kd_rows_jit():
         one = lambda pair: _kd_one_subset(f1, f2, pair, kparams)
         # chunked vmap: enough subsets in flight to keep the MXU busy
         # without materializing all S Gram matrices at once
-        rows = jax.lax.map(jax.vmap(one), (i1c, i2c))
-        return tuple(r.reshape(-1, r.shape[-1])[:s] for r in rows)
+        sums = jax.lax.map(jax.vmap(one), (i1c, i2c))
+        return tuple(r.reshape(-1)[:s] for r in sums)
 
     return run
 
@@ -178,11 +181,8 @@ def _get_kd_rows():
     return _kd_rows
 
 
-def _host_mmd2(rows, m):
-    rs_xx, d_x, rs_yy, d_y, rs_xy = (np.asarray(r, dtype=np.float64) for r in rows)
-    kt_xx = rs_xx.sum(axis=-1) - d_x.sum(axis=-1)
-    kt_yy = rs_yy.sum(axis=-1) - d_y.sum(axis=-1)
-    k_xy_sum = rs_xy.sum(axis=-1)
+def _host_mmd2(sums, m):
+    kt_xx, kt_yy, k_xy_sum = (np.asarray(r, dtype=np.float64) for r in sums)
     return (kt_xx + kt_yy) / (m * (m - 1)) - 2.0 * k_xy_sum / (m * m)
 
 
@@ -220,8 +220,15 @@ def _device_mmd2_subsets(
 
     f1 = _pad_pow2_rows(features_1)
     f2 = _pad_pow2_rows(features_2)
-    i1 = jnp.asarray(idx_1, dtype=jnp.int32)
-    i2 = jnp.asarray(idx_2, dtype=jnp.int32)
+    # uint16 transfer halves the index upload when row counts allow (the
+    # subsets are host-sampled for reference rng parity; kernels upcast)
+    idx_dt = (
+        jnp.uint16
+        if max(features_1.shape[0], features_2.shape[0]) < (1 << 16)
+        else jnp.int32
+    )
+    i1 = jnp.asarray(idx_1.astype(np.int64), dtype=idx_dt)
+    i2 = jnp.asarray(idx_2.astype(np.int64), dtype=idx_dt)
     m = idx_1.shape[1]
     kparams = (kernel_type, degree, gamma, coef0, sigma)
 
@@ -244,7 +251,7 @@ def _device_mmd2_subsets(
                 local,
                 mesh=mesh,
                 in_specs=(P(), P(), P(axis), P(axis)),
-                out_specs=(P(axis),) * 5,
+                out_specs=(P(axis),) * 3,
             )
         )
         return _host_mmd2(jax.device_get(run(f1, f2, i1, i2)), m)

@@ -251,17 +251,33 @@ def _get_fused_embed_loop(embedder, batch_size: int):
     return loop
 
 
-def _device_array_batches(windows, win_len, batch_size):
+def _device_windows(waveforms, win_len: int, hop_len: int):
+    """(N, n_samples) device array -> (N*k, win_len) windows on device,
+    item-major order (matching multi_audio_slicer).  Returns None when the
+    items are shorter than one window."""
+    n = waveforms.shape[1]
+    if n < win_len:
+        return None
+    k = (n - win_len) // hop_len + 1
+    if n == win_len:
+        return waveforms
+    if hop_len == win_len:
+        return waveforms[:, : k * win_len].reshape(-1, win_len)
+    slices = [
+        waveforms[:, i * hop_len : i * hop_len + win_len] for i in range(k)
+    ]
+    return jnp.stack(slices, axis=1).reshape(-1, win_len)
+
+
+def _device_array_batches(windows, win_len, batch_size, hop_len):
     """Batches from a device-resident input: (N, n_samples) jax array of mono
     stems.  Slicing/reshaping happens on device — nothing round-trips to
     host, so a pipeline fed with device-resident audio (e.g. the output of a
     generative model under evaluation) streams at HBM speed.
     """
-    n_per_item = windows.shape[1] // win_len
-    if n_per_item < 1:
+    windows = _device_windows(windows, win_len, hop_len)
+    if windows is None:
         return
-    if windows.shape[1] != win_len:
-        windows = windows[:, : n_per_item * win_len].reshape(-1, win_len)
     n = windows.shape[0]
     pad = (-n) % batch_size
     if pad:
@@ -384,6 +400,7 @@ def embedding_pipeline(
     store_stem_embeddings: bool = False,
     batch_size: int = 32,
     win_dur: float = 5.0,
+    hop_dur: float | None = None,
     song_buffer_size: int = 100,
     win_buffer_size: int = 1000,
     win_min_age: int = 100,
@@ -417,6 +434,8 @@ def embedding_pipeline(
 
     if use_native is None:
         use_native = os.environ.get("AM_TPU_NATIVE_LOADER") == "1"
+    if use_native and hop_dur is not None:
+        use_native = False  # the C++ batcher cuts non-overlapping windows
     if use_native:
         from .native_loader import native_available
 
@@ -435,11 +454,9 @@ def embedding_pipeline(
         and (mesh is None or getattr(mesh, "size", 1) <= 1)
     ):
         win_len = window_length(in_sr, win_dur)
-        n_per_item = waveforms.shape[1] // win_len
-        if n_per_item >= 1:
-            w = waveforms
-            if w.shape[1] != win_len:
-                w = w[:, : n_per_item * win_len].reshape(-1, win_len)
+        hop_len = win_len if hop_dur is None else window_length(in_sr, hop_dur)
+        w = _device_windows(waveforms, win_len, hop_len)
+        if w is not None:
             n = w.shape[0]
             pad = (-n) % batch_size
             if pad:
@@ -458,8 +475,12 @@ def embedding_pipeline(
             return {ItemCategory.stem: amd}
 
     if device_resident:
+        win_len = window_length(in_sr, win_dur)
         batches = _device_array_batches(
-            waveforms, window_length(in_sr, win_dur), batch_size
+            waveforms,
+            win_len,
+            batch_size,
+            win_len if hop_dur is None else window_length(in_sr, hop_dur),
         )
     elif use_native:
         batches = _native_batches(
@@ -482,7 +503,7 @@ def embedding_pipeline(
             items = shuffle_stream(items, buffer_size=song_buffer_size, seed=seed)
 
         # window at the input rate; resampling happens on device per batch
-        windows = multi_audio_slicer(items, win_dur, sr=in_sr)
+        windows = multi_audio_slicer(items, win_dur, sr=in_sr, hop_dur=hop_dur)
 
         if apa_mode == "reference":
             windows, shuffled = tee(windows)

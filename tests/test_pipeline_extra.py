@@ -101,3 +101,51 @@ def test_device_resident_without_embed_fn_falls_back():
     assert a.n == b.n == 9
     np.testing.assert_allclose(a.embeddings, b.embeddings, rtol=1e-6)
     np.testing.assert_allclose(a.cov, b.cov, rtol=1e-4, atol=1e-7)
+
+def test_hop_dur_overlapping_windows():
+    """hop_dur < win_dur yields overlapping windows, identical between the
+    host slicer path and the device-resident path."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    sr = 16000
+    # 10 s items, 5 s windows, 2.5 s hop -> 3 windows per item
+    data = (0.4 * rng.normal(size=(5, 10 * sr))).astype(np.float32)
+    kwargs = dict(
+        embedder=DummyEmbedder(),
+        mix_function=mix_func,
+        stems_mode=True,
+        store_stem_embeddings=True,
+        batch_size=8,
+        win_dur=5.0,
+        hop_dur=2.5,
+    )
+    r_host = embedding_pipeline(data, **kwargs)
+    r_dev = embedding_pipeline(jnp.asarray(data), **kwargs)
+    a, b = r_host[ItemCategory.stem], r_dev[ItemCategory.stem]
+    assert a.n == b.n == 15
+    np.testing.assert_allclose(a.embeddings, b.embeddings, rtol=1e-6)
+
+
+def test_hop_dur_through_audio_metrics():
+    from audio_metrics_tpu import AudioMetrics
+
+    rng = np.random.default_rng(5)
+    sr = 16000
+    data = (0.4 * rng.normal(size=(6, 10 * sr))).astype(np.float32)
+    am = AudioMetrics(
+        metrics=["fad", "kd", "prdc"],
+        embedder=DummyEmbedder(),
+        win_dur=5.0,
+        hop_dur=2.5,
+        input_sr=sr,
+    )
+    am.add_reference(data)
+    assert am.stem_reference.n == 18  # 3 windows per 10 s item
+    res = am.evaluate(data)
+    assert res["fad"] < 1e-8 and res["coverage"] == 1.0
+    # state round-trip carries hop_dur
+    am.save_state("/tmp/hop_state.npz")
+    am2 = AudioMetrics(metrics=["fad"], embedder=DummyEmbedder(), input_sr=sr)
+    am2.load_state("/tmp/hop_state.npz")
+    assert am2.hop_dur == 2.5
