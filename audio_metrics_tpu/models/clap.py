@@ -27,6 +27,7 @@ random weights are used (benchmark-valid FLOPs, not metric-valid values).
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 
 import numpy as np
@@ -61,24 +62,72 @@ _FMIN, _FMAX = 50, 14000
 PROJECTION_DIM = 512
 
 
-def clap_mel(audio, compute_dtype=None):
+def clap_mel(audio, compute_dtype=None, center=True):
     """(B, n) @48k -> (B, n//480 + 1, 64) log-mel, laion non-fusion convention."""
     return log_mel_spectrogram(
         audio,
         sampling_rate=SAMPLE_RATE,
         frame_length=_N_FFT,
         hop_length=_HOP,
-        n_fft=_N_FFT,
         n_mels=_N_MELS,
         fmin=_FMIN,
         fmax=_FMAX,
-        center=True,
+        n_fft=_N_FFT,
+        center=center,
         power=2.0,
         mel_norm="slaney",
         mel_scale="slaney",
         log_mode="db",
         compute_dtype=compute_dtype,
     )
+
+
+def _can_tile_mel(n: int) -> bool:
+    """The repeat-pad mel shortcut applies when laion's repeatpad tiles the
+    clip a whole number of times (no zero tail) and the clip length is a
+    hop multiple (so mel frames repeat with the clip period)."""
+    return (
+        n < MAX_SAMPLES
+        and MAX_SAMPLES % n == 0
+        and n % _HOP == 0
+        and n >= _N_FFT
+    )
+
+
+def clap_mel_tiled(audio, compute_dtype=None):
+    """Exact log-mel of the repeat-padded clip at ~1/r of the mel cost.
+
+    laion repeatpad tiles an n-sample clip r = MAX_SAMPLES//n times
+    (reference laion_clap get_audio_features; embedders/clap.py:39 calls it
+    with 5 s windows -> r=2).  Because n is a hop multiple, every mel frame
+    whose 1024-sample window lies strictly inside the tiled signal is
+    sample-identical to the frame one clip period (p = n/hop frames)
+    earlier.  So only the p+2 head frames (left reflect pad + one period)
+    and the 2 tail frames (right reflect pad) hit the DFT; the mid frames
+    are row copies.  Matches clap_mel(tiled audio) up to matmul
+    accumulation-order noise (~1e-5 dB on the 2 tail frames; the rest is
+    bitwise in practice — tests/test_models.py), and the 10 s tiled
+    waveform never materializes.
+    """
+    b, n = audio.shape
+    p = n // _HOP
+    half = _N_FFT // 2  # center-pad width
+    n_frames = MAX_SAMPLES // _HOP + 1
+    t_tail0 = (MAX_SAMPLES - half) // _HOP + 1  # first frame touching the
+    # right reflect pad
+    extra = _HOP + half  # samples past one period that frame p+1 reaches
+    head_sig = jnp.concatenate(
+        [audio[:, 1 : half + 1][:, ::-1], audio, audio[:, :extra]], axis=1
+    )
+    tail_sig = jnp.concatenate(
+        [audio[:, n - extra :], audio[:, -half - 1 : -1][:, ::-1]], axis=1
+    )
+    head = clap_mel(head_sig, compute_dtype=compute_dtype, center=False)
+    tail = clap_mel(tail_sig, compute_dtype=compute_dtype, center=False)
+    mid_idx = 2 + (np.arange(p + 2, t_tail0) - 2) % p
+    mel = jnp.concatenate([head, head[:, mid_idx], tail], axis=1)
+    assert mel.shape[1] == n_frames
+    return mel
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
@@ -90,16 +139,20 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
     copy and host->device transfers stay at the original clip length.
     """
     n = audio.shape[1]
-    if n < MAX_SAMPLES:
-        n_repeat = MAX_SAMPLES // n
-        audio = jnp.tile(audio, (1, n_repeat))
-        pad = MAX_SAMPLES - audio.shape[1]
-        if pad:
-            audio = jnp.pad(audio, ((0, 0), (0, pad)))
-    # bf16 compute dispatches the mel chain to the fused Pallas frontend
-    # (log_mel_pallas: ~5x over the XLA path, ~0.03 dB vs f32); f32 compute
-    # keeps the exact XLA path
-    mel = clap_mel(audio, compute_dtype=compute_dtype)
+    if _can_tile_mel(n) and not os.environ.get("AM_TPU_NO_MEL_TILE"):
+        # default 5 s windows: exact repeat-pad mel at ~half the cost, and
+        # the 10 s tiled waveform never exists in HBM
+        mel = clap_mel_tiled(audio, compute_dtype=compute_dtype)
+    else:
+        if n < MAX_SAMPLES:
+            n_repeat = MAX_SAMPLES // n
+            audio = jnp.tile(audio, (1, n_repeat))
+            pad = MAX_SAMPLES - audio.shape[1]
+            if pad:
+                audio = jnp.pad(audio, ((0, 0), (0, pad)))
+        # bf16 compute dispatches the mel chain to the fused Pallas frontend
+        # (halo-DMA kernel); f32 compute keeps the exact XLA path
+        mel = clap_mel(audio, compute_dtype=compute_dtype)
     latent = htsat_encode(params, mel, cfg, compute_dtype=compute_dtype)
     l1 = (
         jnp.dot(

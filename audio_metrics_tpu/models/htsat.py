@@ -108,6 +108,36 @@ def _shift_attn_mask(height: int, width: int, window: int, shift: int) -> np.nda
 
 
 @lru_cache(maxsize=None)
+def _merged_window_index(resolution: int, window: int):
+    """Token -> (window id, within-window position) for the merged-window
+    dense-attention layout: tokens in image row-major order, windows ordered
+    (row-block, col-block) row-major (matching _window_partition /
+    _shift_attn_mask)."""
+    idx = np.arange(resolution)
+    rr, cc = np.meshgrid(idx, idx, indexing="ij")
+    wid = (rr // window) * (resolution // window) + (cc // window)
+    pid = (rr % window) * window + (cc % window)
+    return wid.reshape(-1), pid.reshape(-1)
+
+
+def _merged_bias_mask(bm, resolution: int, window: int):
+    """Scatter a per-window (nW or 1, heads, n, n) bias+mask onto the dense
+    (1, heads, R^2, R^2) merged-window grid; cross-window pairs get -1e9
+    (which underflows to probability 0.0 through the f32 softmax, making
+    dense attention bitwise equal to per-window attention).  One gather over
+    the bias tables per call; ~4 MB at stage 2, negligible next to the block
+    activations."""
+    wid, pid = _merged_window_index(resolution, window)
+    same = jnp.asarray(wid[:, None] == wid[None, :])
+    if bm.shape[0] == 1:
+        dense = bm[0][:, pid[:, None], pid[None, :]]  # (heads, N, N)
+    else:
+        dense = bm[wid[:, None], :, pid[:, None], pid[None, :]]
+        dense = dense.transpose(2, 0, 1)
+    return jnp.where(same[None, None], dense[None], jnp.float32(-1e9))
+
+
+@lru_cache(maxsize=None)
 def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
     """(n_out, n_in) 1-D bicubic interpolation matrix, align_corners=True,
     border-replicated taps (torch F.interpolate semantics), a = -0.75."""
@@ -221,12 +251,29 @@ def _window_attention(x, params, prefix, num_heads: int, window: int, attn_mask)
 
 
 def _attention_half_pallas(
-    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int, num_heads: int, window: int
+    x,
+    params,
+    prefix,
+    cfg: HTSATConfig,
+    resolution: int,
+    shift: int,
+    num_heads: int,
+    window: int,
+    merge: bool = False,
 ):
     """x + WindowAttention(LN(x)) via the fused Pallas block kernel
     (ops/attention.py).  The per-head weight splits / scale folds trace as
     tiny XLA ops on the weights (fused into constants-like prep each call —
-    negligible next to the block activations)."""
+    negligible next to the block activations).
+
+    ``merge=True`` runs all windows of an image as ONE dense attention over
+    the whole (resolution x resolution) token grid with a block-diagonal
+    additive mask (-1e9 off the per-window blocks).  Because the masked
+    entries underflow to exactly 0.0 after the f32 softmax (exp(-1e9 - m)
+    with a finite in-window row max), the dense result is bitwise identical
+    to per-window attention — but Mosaic sees one big MXU matmul per image
+    instead of n_windows small ones, which is what the few-window late
+    stages need (the unrolled batched-matmul fixed cost dominates there)."""
     from ..ops.attention import swin_attention_block_pallas
 
     b, _, c = x.shape
@@ -263,6 +310,10 @@ def _attention_half_pallas(
         bm = bias[None] + mask[:, None]
     else:
         bm = bias[None]
+
+    if merge:
+        bm = _merged_bias_mask(bm, h, window)
+        window = h  # one dense "window" spanning the whole image
 
     out = swin_attention_block_pallas(
         x.reshape(b, h, w, c),
@@ -306,9 +357,28 @@ def _swin_block(
         and jax.default_backend() == "tpu"
     )
 
-    if _use_pallas_attention(n_windows):
+    # Merged-window dense attention (one masked 256-token attention per
+    # image instead of 4 windows) is bitwise-exact but measured SLOWER than
+    # XLA's per-window path at stage 2 on v5e (1.34/1.81 ms/block merged vs
+    # 0.76/1.35 XLA, B=64): the 4x dense softmax work outweighs the saved
+    # batched-matmul unroll overhead.  Kept as an opt-in for other topologies.
+    merge_windows = (
+        window < resolution <= 16
+        and bool(os.environ.get("AM_TPU_MERGED_ATTN"))
+        and not os.environ.get("AM_TPU_NO_PALLAS")
+        and jax.default_backend() == "tpu"
+    )
+    if _use_pallas_attention(n_windows) or merge_windows:
         x = _attention_half_pallas(
-            x, params, prefix, cfg, resolution, shift, num_heads, window
+            x,
+            params,
+            prefix,
+            cfg,
+            resolution,
+            shift,
+            num_heads,
+            window,
+            merge=merge_windows,
         )
     else:
         shortcut = x

@@ -26,7 +26,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mel_filter_bank", "log_mel_spectrogram", "log_mel_pallas", "stft_power"]
+__all__ = [
+    "mel_filter_bank",
+    "log_mel_spectrogram",
+    "log_mel_pallas",
+    "log_mel_pallas_halo",
+    "stft_power",
+]
 
 
 # ----------------------------------------------------------------------
@@ -327,6 +333,150 @@ def log_mel_pallas(
     return out[:rows].reshape(b, n_frames, n_mels)
 
 
+def log_mel_pallas_halo(
+    audio,
+    *,
+    frame_length: int,
+    hop_length: int,
+    n_fft: int,
+    fb: np.ndarray,
+    window: str = "hann",
+    center: bool = True,
+    log_mode: str = "db",
+    log_offset: float = 0.01,
+    tile_frames: int = 128,
+    basis_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Halo-DMA log-mel frontend: framing happens INSIDE the kernel.
+
+    log_mel_pallas materializes the overlapped (rows, frame) matrix in HBM
+    (~184 MB for 64x 10 s clips at 48 kHz) before the kernel reads it back;
+    here the kernel manually DMAs the ceil(frame/hop) hop-strided chunk views
+    of each frame tile straight from the (B, n_hops, hop) audio in HBM into
+    VMEM scratch and contracts each against its chunk of the DFT basis — the
+    overlap never exists in HBM.  The DFT basis is bf16 by default, which
+    moves the dominant matmul from the f32 to the bf16 MXU rate (the frames
+    were already bf16; both quantizations are ~0.4 % relative, well under
+    the mel-noise floor that matters to the embedders — see
+    tests/test_pallas_model_kernels.py tolerances).
+    """
+    import contextlib
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(audio, dtype=jnp.float32)
+    b = x.shape[0]
+    if center:
+        pad = frame_length // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (x.shape[1] - frame_length) // hop_length + 1
+    n_chunks = -(-frame_length // hop_length)
+
+    t_frames = min(tile_frames, max(16, 1 << (n_frames - 1).bit_length()))
+    n_tiles = -(-n_frames // t_frames)
+    n_frames_pad = n_tiles * t_frames
+    # Mosaic HBM DMA slices must be tile-aligned: hop rows pad to a lane
+    # multiple (the matching basis rows are zero so pad samples contribute
+    # nothing), and the per-tile halo copy starts at ti*t_frames (a sublane
+    # tile multiple) and spans t_frames + halo_hops rows in one DMA; the
+    # +k chunk offsets become in-VMEM sublane slices.
+    halo_hops = 16
+    assert t_frames % 16 == 0 and n_chunks - 1 <= halo_hops
+    need = (n_frames_pad + halo_hops) * hop_length
+    if need > x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    else:
+        x = x[:, :need]
+    hop_pad = -(-hop_length // 128) * 128
+    xr = x.astype(jnp.bfloat16).reshape(b, n_frames_pad + halo_hops, hop_length)
+    if hop_pad != hop_length:
+        xr = jnp.pad(xr, ((0, 0), (0, 0), (0, hop_pad - hop_length)))
+
+    cos_m, sin_m = _dft_matrices(frame_length, n_fft, window)
+    n_bins_keep = _fb_support_bins(fb)
+    basis = np.zeros((n_chunks, hop_pad, 2 * n_bins_keep), np.float32)
+    for k in range(n_chunks):
+        lo = k * hop_length
+        ln = min(hop_length, frame_length - lo)
+        basis[k, :ln, :n_bins_keep] = cos_m[lo : lo + ln, :n_bins_keep]
+        basis[k, :ln, n_bins_keep:] = sin_m[lo : lo + ln, :n_bins_keep]
+    fb_t = np.ascontiguousarray(fb[:n_bins_keep].astype(np.float32))
+    n_mels = fb_t.shape[1]
+
+    if log_mode == "db":
+        def logf(m):
+            return jnp.float32(10.0) * (
+                jnp.log(jnp.maximum(m, jnp.float32(1e-10)))
+                * jnp.float32(0.43429448190325176)
+            )
+    elif log_mode == "natural":
+        def logf(m):
+            return jnp.log(m + jnp.float32(log_offset))
+    else:
+        raise ValueError(f"unknown log_mode {log_mode!r}")
+
+    def kernel(xr_ref, basis_ref, fb_ref, out_ref, hops, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            xr_ref.at[bi, pl.ds(ti * t_frames, t_frames + halo_hops), :],
+            hops,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        acc = None
+        for k in range(n_chunks):
+            part = jnp.dot(
+                hops[k : k + t_frames],
+                basis_ref[k].astype(basis_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        re = acc[:, :n_bins_keep]
+        im = acc[:, n_bins_keep:]
+        sq = re * re + im * im
+        mel = jnp.dot(sq, fb_ref[:], preferred_element_type=jnp.float32)
+        out_ref[0] = logf(mel)
+
+    if hasattr(jax, "enable_x64"):
+        scope = jax.enable_x64(False)
+    else:  # pragma: no cover
+        scope = contextlib.nullcontext()
+    with scope:
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, n_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (n_chunks, hop_pad, 2 * n_bins_keep),
+                    lambda bi, ti: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n_bins_keep, n_mels),
+                    lambda bi, ti: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, t_frames, n_mels), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, n_frames_pad, n_mels), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((t_frames + halo_hops, hop_pad), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(xr, jnp.asarray(basis), jnp.asarray(fb_t))
+    return out[:, :n_frames]
+
+
 def log_mel_spectrogram(
     audio,
     sampling_rate: int,
@@ -354,9 +504,11 @@ def log_mel_spectrogram(
       - "natural": log(mel + log_offset) — VGGish convention
 
     With ``compute_dtype=bfloat16`` on the TPU backend (and power=2), the
-    whole chain dispatches to the fused Pallas kernel (log_mel_pallas) —
-    XLA otherwise folds the bf16 casts away (--xla_allow_excess_precision)
-    and runs the DFT at f32 matmul rate with HBM round-trips between stages.
+    whole chain dispatches to the fused halo-DMA Pallas kernel
+    (log_mel_pallas_halo; AM_TPU_MEL_V1=1 selects the older materializing
+    kernel) — XLA otherwise folds the bf16 casts away
+    (--xla_allow_excess_precision) and runs the DFT at f32 matmul rate with
+    HBM round-trips between stages.
     """
     import os
 
@@ -378,7 +530,8 @@ def log_mel_spectrogram(
         and jax.default_backend() == "tpu"
         and not os.environ.get("AM_TPU_NO_PALLAS")
     ):
-        return log_mel_pallas(
+        fn = log_mel_pallas if os.environ.get("AM_TPU_MEL_V1") else log_mel_pallas_halo
+        return fn(
             audio,
             frame_length=frame_length,
             hop_length=hop_length,

@@ -25,7 +25,7 @@ os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
 
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "2048"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "128"))
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "64"))  # B=64 amortizes best on v5e (77.2 ms at 128 vs 2x35.3 at 64)
 BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
 SR = 48000
 CLIP_SECONDS = 5.0

@@ -64,6 +64,59 @@ def test_clap_mel_matches_hf_extractor(hf_extractor):
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-3)
 
 
+def test_clap_mel_tiled_exact():
+    """The repeat-pad mel shortcut must match the mel of the explicitly
+    tiled waveform: sample windows are identical, so any difference is
+    matmul accumulation-order noise from the different row counts (~1e-5 dB
+    on the two tail frames; head/mid frames bitwise on CPU)."""
+    from audio_metrics_tpu.models.clap import _can_tile_mel, clap_mel_tiled
+
+    rng = np.random.default_rng(5)
+    for n in (MAX_SAMPLES // 2, MAX_SAMPLES // 5):  # 5 s and 2 s clips
+        assert _can_tile_mel(n)
+        a = (0.3 * rng.normal(size=(2, n))).astype(np.float32)
+        r = MAX_SAMPLES // n
+        full = np.asarray(clap_mel(np.tile(a, (1, r))))
+        fast = np.asarray(clap_mel_tiled(a))
+        np.testing.assert_array_equal(fast[:, :-2], full[:, :-2])
+        np.testing.assert_allclose(fast[:, -2:], full[:, -2:], rtol=0, atol=1e-4)
+    assert not _can_tile_mel(MAX_SAMPLES // 2 + 480)  # doesn't divide 10 s
+    assert not _can_tile_mel(MAX_SAMPLES)  # nothing to tile
+
+
+def test_clap_mel_tiled_exact_halo_kernel():
+    """Same bitwise equality through the fused halo Pallas kernel
+    (interpret mode) — the kernel must be frame-position invariant."""
+    from audio_metrics_tpu.models.clap import _HOP, _N_FFT, _FMIN, _FMAX, _N_MELS
+    from audio_metrics_tpu.ops.mel import log_mel_pallas_halo, mel_filter_bank
+
+    rng = np.random.default_rng(6)
+    n = MAX_SAMPLES // 2
+    a = (0.3 * rng.normal(size=(1, n))).astype(np.float32)
+    fb = mel_filter_bank(
+        _N_FFT // 2 + 1, _N_MELS, float(_FMIN), float(_FMAX), 48000,
+        norm="slaney", mel_scale="slaney", triangle_domain="hz",
+    ).astype(np.float32)
+    mel = lambda x, center: log_mel_pallas_halo(
+        x, frame_length=_N_FFT, hop_length=_HOP, n_fft=_N_FFT, fb=fb,
+        center=center, log_mode="db", interpret=True,
+    )
+    full = mel(np.tile(a, (1, 2)), True)
+    half = _N_FFT // 2
+    extra = _HOP + half
+    head_sig = np.concatenate([a[:, 1 : half + 1][:, ::-1], a, a[:, :extra]], axis=1)
+    tail_sig = np.concatenate([a[:, n - extra :], a[:, -half - 1 : -1][:, ::-1]], axis=1)
+    head = mel(head_sig, False)
+    tail = mel(tail_sig, False)
+    p = n // _HOP
+    t_tail0 = (MAX_SAMPLES - half) // _HOP + 1
+    mid_idx = 2 + (np.arange(p + 2, t_tail0) - 2) % p
+    fast = np.concatenate(
+        [np.asarray(head), np.asarray(head)[:, mid_idx], np.asarray(tail)], axis=1
+    )
+    np.testing.assert_array_equal(fast, np.asarray(full))
+
+
 def test_repeatpad():
     rng = np.random.default_rng(1)
     # 5 s -> tiles exactly twice

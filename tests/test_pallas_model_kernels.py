@@ -27,6 +27,7 @@ from audio_metrics_tpu.models.htsat import (
 from audio_metrics_tpu.ops.attention import swin_attention_block_pallas
 from audio_metrics_tpu.ops.mel import (
     log_mel_pallas,
+    log_mel_pallas_halo,
     log_mel_spectrogram,
     mel_filter_bank,
 )
@@ -119,6 +120,72 @@ def test_attention_block_kernel_matches_xla(stage, shift):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize("shift", [0, 4])
+def test_merged_window_attention_matches_per_window(shift):
+    """Dense whole-image attention with the block-diagonal -1e9 mask
+    (htsat._merged_bias_mask, used at stage 2 on TPU) must reproduce
+    per-window attention exactly — masked probs underflow to 0.0."""
+    from audio_metrics_tpu.models.htsat import _merged_bias_mask
+
+    stage = 2
+    rng = np.random.default_rng(42 + shift)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = cfg.window_size
+    pre = f"audio_encoder.layers.{stage}.blocks.0"
+    B = 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, c)).astype(np.float32))
+
+    sc = x
+    hx = _layer_norm(
+        x,
+        params[f"{pre}.layernorm_before.weight"],
+        params[f"{pre}.layernorm_before.bias"],
+        cfg.layer_norm_eps,
+    ).reshape(B, res, res, c)
+    attn_mask = None
+    if shift:
+        hx = jnp.roll(hx, shift=(-shift, -shift), axis=(1, 2))
+        attn_mask = _shift_attn_mask(res, res, window, shift)
+    wins = _window_partition(hx, window)
+    wins = _window_attention(wins, params, f"{pre}.attention", heads, window, attn_mask)
+    hx = _window_reverse(wins, window, res, res)
+    if shift:
+        hx = jnp.roll(hx, shift=(shift, shift), axis=(1, 2))
+    ref = sc + hx.reshape(B, res * res, c)
+
+    wq, bq, wk, wv, wp, bp, bm = _prep_attention_weights(
+        params, pre, heads, c, window, shift, res
+    )
+    bm = _merged_bias_mask(bm, res, window)
+    assert bm.shape == (1, heads, res * res, res * res)
+    out = swin_attention_block_pallas(
+        x.reshape(B, res, res, c),
+        params[f"{pre}.layernorm_before.weight"].astype(jnp.float32),
+        params[f"{pre}.layernorm_before.bias"].astype(jnp.float32),
+        wq,
+        bq,
+        wk,
+        wv,
+        wp,
+        bp,
+        bm,
+        heads,
+        res,  # one dense window spanning the image
+        shift,
+        eps=cfg.layer_norm_eps,
+        interpret=True,
+    ).reshape(B, res * res, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
 def test_attention_block_kernel_lowers_for_tpu():
     from functools import partial
 
@@ -173,7 +240,8 @@ def test_mlp_block_kernel_matches_xla():
     ],
     ids=["clap", "vggish"],
 )
-def test_log_mel_pallas_matches_xla(conv):
+@pytest.mark.parametrize("kernel", ["v1", "halo"])
+def test_log_mel_pallas_matches_xla(conv, kernel):
     rng = np.random.default_rng(3)
     a = jnp.asarray((0.2 * rng.normal(size=(3, conv["sr"]))).astype(np.float32))
     ref = log_mel_spectrogram(
@@ -204,7 +272,8 @@ def test_log_mel_pallas_matches_xla(conv):
         triangle_domain=conv["domain"],
         zero_dc=conv["zero_dc"],
     ).astype(np.float32)
-    out = log_mel_pallas(
+    fn = log_mel_pallas if kernel == "v1" else log_mel_pallas_halo
+    out = fn(
         a,
         frame_length=conv["frame"],
         hop_length=conv["hop"],
