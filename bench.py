@@ -25,8 +25,11 @@ os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
 
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "2048"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "64"))  # B=64 amortizes best on v5e (77.2 ms at 128 vs 2x35.3 at 64)
 BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
+# CLAP's forward amortizes best at B=64 on v5e (2x35.3 ms vs 77.2 at 128);
+# the much smaller VGGish net wants the bigger batch
+_DEFAULT_BATCH = "128" if BENCH_MODE == "vggish" else "64"
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH))
 SR = 48000
 CLIP_SECONDS = 5.0
 NORTH_STAR = 5000.0
