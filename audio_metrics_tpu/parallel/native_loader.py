@@ -38,11 +38,11 @@ def _load_library():
     if _lib is not None or _load_failed:
         return _lib
     lib_path = _NATIVE_DIR / _LIB_NAME
-    if not lib_path.exists():
-        src = _NATIVE_DIR / "am_dataloader.cc"
-        if not src.exists():
-            _load_failed = True
-            return None
+    src = _NATIVE_DIR / "am_dataloader.cc"
+    if src.exists():
+        # make is a fast no-op when the .so is up to date, and rebuilds a
+        # stale one after source changes (the old missing-file-only check
+        # could load an outdated binary)
         try:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)],
@@ -51,9 +51,14 @@ def _load_library():
                 timeout=120,
             )
         except Exception as exc:
-            logger.warning("native dataloader build failed: %s", exc)
-            _load_failed = True
-            return None
+            if not lib_path.exists():
+                logger.warning("native dataloader build failed: %s", exc)
+                _load_failed = True
+                return None
+            logger.warning("native dataloader rebuild failed; using existing: %s", exc)
+    elif not lib_path.exists():
+        _load_failed = True
+        return None
     try:
         lib = ctypes.CDLL(str(lib_path))
     except OSError as exc:
@@ -70,6 +75,7 @@ def _load_library():
         ctypes.c_int,
     ]
     lib.amdl_finish.argtypes = [ctypes.c_void_p]
+    lib.amdl_cancel.argtypes = [ctypes.c_void_p]
     lib.amdl_next_batch.restype = ctypes.c_int
     lib.amdl_next_batch.argtypes = [
         ctypes.c_void_p,
@@ -150,6 +156,16 @@ class NativeBatcher:
     def finish(self) -> None:
         if not self._finished:
             self._lib.amdl_finish(self._handle)
+            self._finished = True
+
+    def cancel(self) -> None:
+        """Unblock any thread parked in feed()/iteration (backpressure or
+        empty-queue waits).  Safe-teardown contract when feeder threads are
+        involved: cancel(), JOIN the feeders, then drop the batcher —
+        destroying while a feeder is inside feed() is a use-after-free in
+        the native layer."""
+        if self._handle:
+            self._lib.amdl_cancel(self._handle)
             self._finished = True
 
     def __iter__(self):

@@ -177,8 +177,16 @@ def _native_batches(
 
     thread = threading.Thread(target=feeder, daemon=True)
     thread.start()
-    yield from nb
-    thread.join()
+    try:
+        yield from nb
+        thread.join()
+    finally:
+        # Abandoned mid-iteration (consumer break/exception/GC): unblock the
+        # feeder's backpressure wait and join it BEFORE the batcher is
+        # dropped — destroying the native loader while the feeder sits in
+        # feed() is a use-after-free.
+        nb.cancel()
+        thread.join(timeout=30)
     if errors:
         raise errors[0]
 

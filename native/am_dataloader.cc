@@ -122,6 +122,16 @@ class Loader {
   }
 
   ~Loader() {
+    cancel();
+    if (worker_.joinable()) worker_.join();
+  }
+
+  // Unblock every thread parked in feed()/next_batch()/flush_bucket().
+  // Contract for safe teardown with external feeder threads: cancel(),
+  // join the feeders (their in-flight feed() returns once stop_ is set),
+  // THEN destroy — destroying while a feeder is still inside feed() is a
+  // use-after-free.
+  void cancel() {
     {
       std::lock_guard<std::mutex> lk(mu_);
       stop_ = true;
@@ -129,7 +139,6 @@ class Loader {
     }
     cv_in_.notify_all();
     cv_out_.notify_all();
-    if (worker_.joinable()) worker_.join();
   }
 
   void feed(const float* audio, int64_t n_samples, int channels) {
@@ -362,6 +371,8 @@ void amdl_feed(void* h, const float* audio, int64_t n_samples, int channels) {
 }
 
 void amdl_finish(void* h) { static_cast<Loader*>(h)->finish(); }
+
+void amdl_cancel(void* h) { static_cast<Loader*>(h)->cancel(); }
 
 int amdl_next_batch(void* h, float* audio_out, int32_t* cat_out,
                     uint8_t* valid_out, int* kind_out, int* n_out) {
