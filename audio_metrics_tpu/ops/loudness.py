@@ -20,7 +20,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .iir import biquad_cascade, cascade_impulse_response, k_weighting_coeffs
+from .iir import (
+    _k_weighting_sections,
+    biquad_cascade,
+    cascade_impulse_response,
+    k_weighting_coeffs,
+    lfilter_blocked,
+)
 
 __all__ = ["integrated_loudness_batch", "k_weighted", "Meter", "CHANNEL_GAINS"]
 
@@ -30,19 +36,27 @@ CHANNEL_GAINS = np.array([1.0, 1.0, 1.0, 1.41, 1.41])
 _ABS_THRESHOLD = -70.0  # LKFS absolute gate
 
 
-def k_weighted(x, sr: int, method: str = "fir"):
+def k_weighted(x, sr: int, method: str = "blocked"):
     """Apply the K-weighting filter cascade.  x: (B, n) -> (B, n).
 
-    method="fir" (default): FFT convolution with the truncated impulse
-    response of the cascade, matching the exact IIR to ~1e-5 (see
-    ops/iir.cascade_impulse_response) — a direct stride-1 conv with a
-    4096-tap kernel lowers poorly on TPU (~10x slower than the FFT).
+    method="blocked" (default): the exact IIR recurrence restructured as
+    lower-triangular MXU matmuls per 256-sample chunk plus a short
+    boundary-state convolution (ops/iir.lfilter_blocked) — no scan, no FFT,
+    ~10x the FFT path's speed on v5e and no IR truncation error.
+    method="fir": FFT convolution with the truncated (4096-tap) impulse
+    response of the cascade, matching the exact IIR to ~1e-5 (a direct
+    stride-1 conv lowers poorly on TPU, ~10x slower than the FFT).
     method="scan": the exact sequential biquad recurrence in float64 (a
     48 kHz x 5 s window means a 240k-step scan; kept for verification).
     """
     if method == "scan":
         b, a = k_weighting_coeffs(float(sr))
         return biquad_cascade(x, b, a)
+    if method == "blocked":
+        y = jnp.asarray(x, jnp.float32)
+        for b, a in _k_weighting_sections(float(sr)):
+            y = lfilter_blocked(b, a, y)
+        return y
     ir = cascade_impulse_response(float(sr)).astype(np.float32)
     xf = jnp.asarray(x, dtype=jnp.float32)
     n = xf.shape[-1]
@@ -92,7 +106,7 @@ def _gated_loudness(z):
     return lufs
 
 
-def integrated_loudness_batch(audio, sr: int, method: str = "fir"):
+def integrated_loudness_batch(audio, sr: int, method: str = "blocked"):
     """Integrated gated loudness per item.
 
     audio: (B, n) mono or (B, n, C) multichannel -> (B,) LUFS (float64).
