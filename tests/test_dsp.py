@@ -184,6 +184,17 @@ def test_limiter_matches_python_recurrence():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_limiter_blocked_matches_scan():
+    """The parallel (cummax + blocked-lfilter) limiter must reproduce the
+    sequential scan oracle to f32 tolerance, clipping or not."""
+    rng = np.random.default_rng(11)
+    for scale in (0.3, 1.7):  # below and above the clip point
+        x = (scale * rng.normal(size=(2, 50_000))).astype(np.float32)
+        a = np.asarray(limit_batch(x, method="scan"))
+        b = np.asarray(limit_batch(x, method="blocked"))
+        np.testing.assert_allclose(b, a, atol=5e-6)
+
+
 def test_limiter_caps_peaks():
     t = np.arange(48000) / 48000.0
     x = (3.0 * np.sin(2 * np.pi * 100 * t)).astype(np.float32)
