@@ -22,6 +22,9 @@ import numpy as np
 # host-fed configuration: native batcher + int16 transfer encoding
 os.environ.setdefault("AM_TPU_NATIVE_LOADER", "1")
 os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
+# persistent XLA compile cache: repeat bench runs skip the ~2 min warmup
+# compiles (measurement happens after warmup either way)
+os.environ.setdefault("AM_TPU_COMPILE_CACHE", "1")
 
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "2048"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
