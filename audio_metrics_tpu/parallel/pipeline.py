@@ -277,6 +277,92 @@ def _device_windows(waveforms, win_len: int, hop_len: int):
     return jnp.stack(slices, axis=1).reshape(-1, win_len)
 
 
+def _device_windows_pair(waveforms, win_len: int, hop_len: int):
+    """(N, n_samples, 2) device array -> (N*k, win_len, 2) windows on
+    device, item-major order (pair variant of _device_windows)."""
+    n = waveforms.shape[1]
+    if n < win_len:
+        return None
+    k = (n - win_len) // hop_len + 1
+    if n == win_len:
+        return waveforms
+    if hop_len == win_len:
+        return waveforms[:, : k * win_len].reshape(-1, win_len, 2)
+    slices = [waveforms[:, i * hop_len : i * hop_len + win_len] for i in range(k)]
+    return jnp.stack(slices, axis=1).reshape(-1, win_len, 2)
+
+
+def _device_pair_eval(
+    w,
+    embedder,
+    mix_function,
+    sr: int,
+    apa_mode,
+    stems_mode: bool,
+    batch_size: int,
+    seed,
+    store_mix: bool,
+    store_stem: bool,
+):
+    """Device-resident APA path: (N*k, win, 2) pair windows -> per-category
+    AudioMetricsData without any host round-trip.  Mixing runs in 64-pair
+    chunks (bounds the loudness-meter intermediates) and each category's
+    windows go through the same fused embed loop as the stems fast path.
+
+    Deviation from the streaming feeders (documented in README): misaligned
+    pairs come from a seeded uniform permutation of the stem windows rather
+    than the reservoir/min-age shuffle — the anti-reference distribution is
+    the same (stems paired with uniformly-random other windows); only the
+    shuffle rng differs, which is already feeder-specific.
+    """
+    n_w = w.shape[0]
+
+    def embed_set(mono, store):
+        n = mono.shape[0]
+        pad = (-n) % batch_size
+        if pad:
+            mono = jnp.pad(mono, ((0, pad), (0, 0)))
+        loop = _get_fused_embed_loop(embedder, batch_size)
+        buf, nn, s1, m2 = loop(
+            getattr(embedder, "params", {}), mono, jnp.asarray(n, jnp.int32)
+        )
+        amd = AudioMetricsData(store)
+        nn_h, s1_h, m2_h = jax.device_get((nn, s1, m2))
+        amd.add_moments(nn_h, s1_h, m2_h)
+        if store:
+            amd._embedding_chunks.append(buf[:n])
+            amd._embeddings_cat = None
+            amd._embeddings_dev = None
+        return amd
+
+    chunk = 64
+
+    def mix_all(pairs_at):
+        outs = []
+        for i in range(0, n_w, chunk):
+            c = min(chunk, n_w - i)
+            outs.append(jnp.asarray(_device_mix(mix_function, pairs_at(i, c), sr=sr)))
+        return jnp.concatenate(outs, axis=0)
+
+    out = {}
+    aligned_mix = mix_all(lambda i, c: w[i : i + c])
+    out[ItemCategory.aligned] = embed_set(aligned_mix, store_mix)
+    del aligned_mix
+    if apa_mode == "reference":
+        rng = np.random.default_rng(seed)
+        perm = jnp.asarray(rng.permutation(n_w))
+
+        def mis_at(i, c):
+            return jnp.stack([w[i : i + c, :, 0], w[perm[i : i + c], :, 1]], axis=2)
+
+        mis_mix = mix_all(mis_at)
+        out[ItemCategory.misaligned] = embed_set(mis_mix, store_mix)
+        del mis_mix
+    if stems_mode:
+        out[ItemCategory.stem] = embed_set(w[:, :, 1], store_stem)
+    return out
+
+
 def _device_array_batches(windows, win_len, batch_size, hop_len):
     """Batches from a device-resident input: (N, n_samples) jax array of mono
     stems.  Slicing/reshaping happens on device — nothing round-trips to
@@ -448,6 +534,34 @@ def embedding_pipeline(
         from .native_loader import native_available
 
         use_native = native_available()
+
+    device_resident_pairs = (
+        isinstance(waveforms, jax.Array)
+        and waveforms.ndim == 3
+        and waveforms.shape[-1] == 2
+        and apa_mode is not None
+        and not need_resample
+        and embedder.embed_fn is not None
+        and getattr(mix_function, "is_batched_mix", False)
+        and (mesh is None or getattr(mesh, "size", 1) <= 1)
+    )
+    if device_resident_pairs:
+        win_len = window_length(in_sr, win_dur)
+        hop_len = win_len if hop_dur is None else window_length(in_sr, hop_dur)
+        w = _device_windows_pair(waveforms, win_len, hop_len)
+        if w is not None:
+            return _device_pair_eval(
+                w,
+                embedder,
+                mix_function,
+                embedder.sr,
+                apa_mode,
+                stems_mode,
+                batch_size,
+                seed,
+                store_mix_embeddings,
+                store_stem_embeddings,
+            )
 
     device_resident = (
         isinstance(waveforms, jax.Array)

@@ -149,3 +149,83 @@ def test_hop_dur_through_audio_metrics():
     am2 = AudioMetrics(metrics=["fad"], embedder=DummyEmbedder(), input_sr=sr)
     am2.load_state("/tmp/hop_state.npz")
     assert am2.hop_dur == 2.5
+
+
+def test_device_resident_pairs_match_host_feeder():
+    """The device-resident APA pair path must reproduce the Python feeder's
+    aligned/stem statistics exactly (same windows, same batched mix);
+    misaligned differs only by shuffle rng (permutation vs reservoir)."""
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu.models import DummyEmbedder
+    from audio_metrics_tpu.ops.mix import MIX_FUNCTIONS
+    from audio_metrics_tpu.parallel.pipeline import ItemCategory, embedding_pipeline
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    data = (0.3 * rng.normal(size=(9, 5 * sr, 2))).astype(np.float32)
+
+    kwargs = dict(
+        embedder=DummyEmbedder(),
+        mix_function=MIX_FUNCTIONS["PP"],
+        apa_mode="reference",
+        stems_mode=True,
+        store_mix_embeddings=True,
+        store_stem_embeddings=True,
+        batch_size=4,
+        win_dur=5.0,
+        seed=7,
+    )
+    r_host = embedding_pipeline(data, use_native=False, **kwargs)
+    r_dev = embedding_pipeline(jnp.asarray(data), **kwargs)
+
+    for cat in (ItemCategory.aligned, ItemCategory.stem):
+        a, b = r_host[cat], r_dev[cat]
+        assert a.n == b.n
+        np.testing.assert_allclose(a.mean, b.mean, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a.cov, b.cov, rtol=1e-4, atol=1e-5)
+    ea = np.sort(np.asarray(r_host[ItemCategory.stem].embeddings), axis=0)
+    eb = np.sort(np.asarray(r_dev[ItemCategory.stem].embeddings), axis=0)
+    np.testing.assert_allclose(ea, eb, rtol=1e-5, atol=1e-5)
+    ma, mb = r_host[ItemCategory.misaligned], r_dev[ItemCategory.misaligned]
+    assert ma.n == mb.n
+    # candidate mode: no misaligned category, aligned still matches
+    kw2 = dict(kwargs, apa_mode="candidate", store_mix_embeddings=False)
+    c_host = embedding_pipeline(data, use_native=False, **kw2)
+    c_dev = embedding_pipeline(jnp.asarray(data), **kw2)
+    assert ItemCategory.misaligned not in c_dev
+    np.testing.assert_allclose(
+        c_host[ItemCategory.aligned].mean, c_dev[ItemCategory.aligned].mean,
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_device_resident_pairs_apa_end_to_end():
+    """Full AudioMetrics APA flow with device-resident pair arrays."""
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu import AudioMetrics
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+
+    def pairs(n, corr):
+        out = []
+        for _ in range(n):
+            a = rng.uniform(0.05, 0.5)
+            b = a if corr else rng.uniform(0.05, 0.5)
+            out.append(
+                np.stack(
+                    [a * rng.normal(size=5 * sr), b * rng.normal(size=5 * sr)], 1
+                )
+            )
+        return jnp.asarray(np.stack(out).astype(np.float32))
+
+    am = AudioMetrics(
+        metrics=["apa"], embedder="dummy", mix_function="PP",
+        win_dur=5.0, input_sr=sr,
+    )
+    am.add_reference(pairs(24, True))
+    good = am.evaluate(pairs(24, True))
+    bad = am.evaluate(pairs(24, False))
+    assert good["apa"] > bad["apa"]
