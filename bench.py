@@ -33,6 +33,9 @@ BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
 # the much smaller VGGish net wants the bigger batch
 _DEFAULT_BATCH = "128" if BENCH_MODE == "vggish" else "64"
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH))
+if BENCH_MODE == "vggish" and "BENCH_CLIPS" not in os.environ:
+    N_CLIPS = 8192  # VGGish evaluates 2048 clips in ~0.3 s; a bigger set
+    # keeps the measurement above relay timing jitter
 SR = 48000
 CLIP_SECONDS = 5.0
 NORTH_STAR = 5000.0
