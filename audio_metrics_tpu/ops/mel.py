@@ -344,7 +344,7 @@ def log_mel_pallas_halo(
     center: bool = True,
     log_mode: str = "db",
     log_offset: float = 0.01,
-    tile_frames: int = 128,
+    tile_frames: int = 512,
     basis_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
@@ -416,20 +416,41 @@ def log_mel_pallas_halo(
     else:
         raise ValueError(f"unknown log_mode {log_mode!r}")
 
+    n_steps = b * n_tiles
+
     def kernel(xr_ref, basis_ref, fb_ref, out_ref, hops, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            xr_ref.at[bi, pl.ds(ti * t_frames, t_frames + halo_hops), :],
-            hops,
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        step = bi * n_tiles + ti
+        slot = jax.lax.rem(step, 2)
+
+        def copy_for(s, sl):
+            return pltpu.make_async_copy(
+                xr_ref.at[
+                    s // n_tiles,
+                    pl.ds(jax.lax.rem(s, n_tiles) * t_frames, t_frames + halo_hops),
+                    :,
+                ],
+                hops.at[sl],
+                sem.at[sl],
+            )
+
+        # double buffer: this step's copy was started by the previous step
+        # (the first step starts its own), and the next step's copy overlaps
+        # with this step's matmuls
+        @pl.when(step == 0)
+        def _():
+            copy_for(step, slot).start()
+
+        @pl.when(step + 1 < n_steps)
+        def _():
+            copy_for(step + 1, jax.lax.rem(step + 1, 2)).start()
+
+        copy_for(step, slot).wait()
         acc = None
         for k in range(n_chunks):
             part = jnp.dot(
-                hops[k : k + t_frames],
+                hops[slot, k : k + t_frames],
                 basis_ref[k].astype(basis_dtype),
                 preferred_element_type=jnp.float32,
             )
@@ -466,8 +487,8 @@ def log_mel_pallas_halo(
             ),
             out_shape=jax.ShapeDtypeStruct((b, n_frames_pad, n_mels), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((t_frames + halo_hops, hop_pad), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, t_frames + halo_hops, hop_pad), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
