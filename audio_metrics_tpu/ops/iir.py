@@ -95,6 +95,13 @@ def _blocked_tables(b: tuple, a: tuple, block: int):
     b, a = b / a[0], a / a[0]
     p = len(a) - 1
     L = block
+    # the truncated P^k boundary convolution requires a stable filter
+    poles = np.roots(a)
+    if p and np.max(np.abs(poles)) >= 1.0 - 1e-9:
+        raise ValueError(
+            f"lfilter_blocked requires a strictly stable filter "
+            f"(max pole radius {np.max(np.abs(poles)):.6f})"
+        )
 
     # pure-pole impulse response h (L taps): h[0]=1; h[t] = -sum a_j h[t-j]
     h = np.zeros(L)

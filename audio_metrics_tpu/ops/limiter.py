@@ -78,6 +78,12 @@ def _limit_blocked(
     block: int = 1024,
 ):
     b_sz, n = x.shape
+    # the within-chunk weights r^-j must stay finite in f32: cap the chunk
+    # so r^-(block-1) < ~1e30 (default r=0.99 allows the full 1024; r=0.9
+    # would overflow past ~650 samples)
+    max_block = int(30.0 * np.log(10.0) / max(-np.log(release_coeff), 1e-9))
+    while block > 16 and block > max_block:
+        block //= 2
     r = jnp.float32(release_coeff)
     lag = delay - 1
     delayed = (

@@ -193,6 +193,12 @@ def test_limiter_blocked_matches_scan():
         a = np.asarray(limit_batch(x, method="scan"))
         b = np.asarray(limit_batch(x, method="blocked"))
         np.testing.assert_allclose(b, a, atol=5e-6)
+    # aggressive release: the r^-j chunk weights must not overflow f32
+    # (the chunk size adapts)
+    x = (1.6 * rng.normal(size=(2, 20_000))).astype(np.float32)
+    a = np.asarray(limit_batch(x, release_coeff=0.75, method="scan"))
+    b = np.asarray(limit_batch(x, release_coeff=0.75, method="blocked"))
+    np.testing.assert_allclose(b, a, atol=5e-6)
 
 
 def test_limiter_caps_peaks():
