@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["swin_attention_block_pallas"]
+__all__ = ["swin_attention_block_pallas", "swin_attention_block_pallas_v2"]
 
 
 def _x32_scope():
@@ -170,6 +170,158 @@ def _attn_block_kernel(
     ).astype(dt).reshape(kb, height, width, c)
 
 
+def _attn_block_kernel_v2(
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float,
+    x_ref,
+    ln_w_ref,
+    ln_b_ref,
+    wqkv_ref,
+    bq_ref,
+    wp_ref,
+    bp_ref,
+    bm_ref,
+    out_ref,
+):
+    """Lane-masked variant (measured ALTERNATIVE, not wired in): the v1
+    kernel spends most of its time outside the score/context math (isolated
+    on v5e: dropping scores+softmax+context entirely only removes ~30%), so
+    this variant replaces the per-head thin qkv/proj matmuls (N = d = 32, a
+    quarter-lane MXU output) with ONE full-width (C, 3C) qkv matmul and ONE
+    (C, C) projection.  Per-head score/context contractions then run over
+    ALL C lanes with the k/v operand lane-masked to the head's d-lane range
+    (zeros contribute nothing), and each head's context lands in its own
+    lane range so heads accumulate directly — no lane slicing anywhere.
+
+    Measured v5e B=64: v2 ~= v1 within +-15% (wins slightly at stage-0
+    unshifted, loses at stage 1) — the 4-8x wider score/context
+    contractions cost what the wide qkv/proj saves.  Kept as a tested
+    parity-exact alternative and a record of the negative result."""
+    kb, height, width, c = x_ref.shape
+    n = window * window
+    hb, wb = height // window, width // window
+    g = kb * hb * wb
+    rows = kb * height * width
+    d = c // heads
+    dt = x_ref.dtype
+
+    xin = x_ref[:].reshape(rows, c)
+    xf = xin.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    xn_f32 = (
+        (xf - mu)
+        * jax.lax.rsqrt(var + jnp.float32(eps))
+        * ln_w_ref[:].astype(jnp.float32)
+        + ln_b_ref[:].astype(jnp.float32)
+    )
+
+    x4 = xn_f32.reshape(kb, height, width, c)
+    if shift:
+        x4 = pltpu.roll(x4, height - shift, 1)
+        x4 = pltpu.roll(x4, width - shift, 2)
+    x4 = x4.astype(dt)
+    xw = (
+        x4.reshape(kb, hb, window, wb, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(g * n, c)
+    )
+
+    y = (
+        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(dt)
+    q = y[:, :c].reshape(g, n, c)
+    k = y[:, c : 2 * c].reshape(g, n, c)
+    v = y[:, 2 * c :].reshape(g, n, c)
+
+    head_id = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2) // d
+    ctx = None
+    for h in range(heads):
+        mask = (head_id == h).astype(dt)
+        s = jax.lax.dot_general(
+            q,
+            k * mask,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        bm = bm_ref[:, h]
+        if bm_ref.shape[0] == 1:
+            s = s + bm[0][None]
+        else:
+            s = s + jnp.broadcast_to(
+                bm[None], (kb, bm_ref.shape[0], n, n)
+            ).reshape(g, n, n)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        part = jax.lax.dot_general(
+            p,
+            v * mask,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ctx = part if ctx is None else ctx + part
+
+    ow = (
+        jnp.dot(
+            ctx.reshape(g * n, c).astype(dt),
+            wp_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bp_ref[:].astype(jnp.float32)
+    )
+    o4 = (
+        ow.reshape(kb, hb, wb, window, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(kb, height, width, c)
+    )
+    if shift:
+        o4 = pltpu.roll(o4, shift, 1)
+        o4 = pltpu.roll(o4, shift, 2)
+    out_ref[:] = (
+        o4.reshape(rows, c) + xin.astype(jnp.float32)
+    ).astype(dt).reshape(kb, height, width, c)
+
+
+@partial(
+    jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
+)
+def _attn_block_call_v2(
+    x, ln_w, ln_b, wqkv, bq, wp, bp, bm, heads, window, shift, eps, interpret
+):
+    b, height, width, c = x.shape
+    kb = _kb_for(b, height * width * c * x.dtype.itemsize)
+    n = window * window
+    wspec = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_attn_block_kernel_v2, heads, window, shift, eps),
+        grid=(b // kb,),
+        in_specs=[
+            pl.BlockSpec(
+                (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            wspec(ln_w.shape),
+            wspec(ln_b.shape),
+            wspec(wqkv.shape),
+            wspec(bq.shape),
+            wspec(wp.shape),
+            wspec(bp.shape),
+            wspec((bm.shape[0], heads, n, n)),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, height, width, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln_w, ln_b, wqkv, bq, wp, bp, bm)
+
+
 @partial(
     jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
 )
@@ -245,6 +397,47 @@ def swin_attention_block_pallas(
             bq,
             wk,
             wv,
+            wp,
+            bp,
+            jnp.asarray(bias_mask, jnp.float32),
+            heads,
+            window,
+            int(shift),
+            float(eps),
+            interpret,
+        )
+
+
+def swin_attention_block_pallas_v2(
+    x,
+    ln_w,
+    ln_b,
+    wqkv,
+    bq3,
+    wp,
+    bp,
+    bias_mask,
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Lane-masked fused attention half (see _attn_block_kernel_v2).
+
+    wqkv: (C, 3C) fused [wq*scale | wk | wv] columns; bq3: (3C,) with the
+    scaled q bias in the first C entries and zeros elsewhere (the key bias
+    is a per-score-row constant and drops out of softmax; the value bias
+    must already be folded into bp: bp + bv @ wp).  wp: (C, C).  bias_mask
+    as in swin_attention_block_pallas.
+    """
+    with _x32_scope():
+        return _attn_block_call_v2(
+            x,
+            ln_w,
+            ln_b,
+            wqkv,
+            jnp.asarray(bq3, jnp.float32),
             wp,
             bp,
             jnp.asarray(bias_mask, jnp.float32),

@@ -288,3 +288,55 @@ def test_log_mel_pallas_matches_xla(conv, kernel):
     # bf16 frame quantization: tiny absolute dB error except at silent bins
     assert np.mean(d) < 0.02
     assert np.max(d) < 0.5
+
+
+def test_attention_v2_matches_v1():
+    """The lane-masked v2 kernel must be numerically equivalent to v1
+    (interpret mode; see the v2 docstring for the measured perf verdict)."""
+    from audio_metrics_tpu.ops.attention import swin_attention_block_pallas_v2
+
+    stage, shift = 0, 4
+    rng = np.random.default_rng(3)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = cfg.window_size
+    pre = f"audio_encoder.layers.{stage}.blocks.0"
+    jparams = jax.tree.map(jnp.asarray, params)
+    wq, bq, wk, wv, wp_h, bp, bm = _prep_attention_weights(
+        jparams, pre, heads, c, window, shift, res
+    )
+    get = lambda k: np.asarray(params[k], np.float32)
+    d = c // heads
+    scale = 1.0 / np.sqrt(d)
+    wqkv = np.concatenate(
+        [
+            get(f"{pre}.attention.self.query.weight").T * scale,
+            get(f"{pre}.attention.self.key.weight").T,
+            get(f"{pre}.attention.self.value.weight").T,
+        ],
+        axis=1,
+    )
+    bq3 = np.concatenate(
+        [get(f"{pre}.attention.self.query.bias") * scale, np.zeros(2 * c, np.float32)]
+    )
+    wp = get(f"{pre}.attention.output.dense.weight").T
+
+    x = jnp.asarray(rng.normal(size=(2, res, res, c)).astype(np.float32))
+    ln_w = jparams[f"{pre}.layernorm_before.weight"].astype(jnp.float32)
+    ln_b = jparams[f"{pre}.layernorm_before.bias"].astype(jnp.float32)
+    o1 = swin_attention_block_pallas(
+        x, ln_w, ln_b, wq, bq, wk, wv, wp_h, bp, bm, heads, window, shift,
+        interpret=True,
+    )
+    o2 = swin_attention_block_pallas_v2(
+        x, ln_w, ln_b, jnp.asarray(wqkv, jnp.float32), jnp.asarray(bq3),
+        jnp.asarray(wp, jnp.float32), bp, bm, heads=heads, window=window,
+        shift=shift, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=5e-5)
