@@ -192,7 +192,7 @@ def lfilter_blocked(b, a, x, block: int = 256):
 
 @lru_cache(maxsize=None)
 def _k_weighting_sections(rate: float):
-    """K-weighting as low-transient-gain sections for blocked filtering.
+    """K-weighting as low-transient-gain CASCADE sections (oracle form).
 
     Collapsing the cascade to one 4th-order filter puts two near-unit-circle
     pole pairs in a single AR system whose zero-input transients reach ~5e3
@@ -213,6 +213,67 @@ def _k_weighting_sections(rate: float):
         (tuple(hb), (1.0, -p)),
         ((1.0,), (1.0, -p)),
     )
+
+
+@lru_cache(maxsize=None)
+def _k_weighting_parallel(rate: float):
+    """K-weighting in PARALLEL (partial-fraction) form: y = k0*x + sum of
+    low-order sections applied to the SAME input.
+
+    Compared to the cascade form this shares the input across sections (XLA
+    fuses the reads and the final sum) and is ~20x more accurate in f32
+    (measured 5.7e-6 vs 1.1e-4 rel at 48 kHz): each section's f32 error
+    enters the output ONCE instead of being re-filtered by the next
+    near-unit-circle section.  Returns (k0, ((b, a), ...)).
+    """
+    from scipy import signal
+
+    b, a = k_weighting_coeffs(rate)
+    b_c = np.convolve(b[0] / a[0, 0], b[1] / a[1, 0])
+    a_c = np.convolve(a[0] / a[0, 0], a[1] / a[1, 0])
+    r, p, k = signal.residuez(b_c, a_c)
+    assert len(k) == 1, "expected equal-order K-weighting transfer function"
+    sections = []
+    used = [False] * len(p)
+    for i in range(len(p)):
+        if used[i]:
+            continue
+        if abs(p[i].imag) > 1e-9:
+            # complex pair -> one real second-order section
+            for j in range(i + 1, len(p)):
+                if not used[j] and abs(p[j] - np.conj(p[i])) < 1e-6:
+                    q, rr = p[i], r[i]
+                    sections.append(
+                        (
+                            (2 * rr.real, -2 * (rr * np.conj(q)).real),
+                            (1.0, -2 * q.real, abs(q) ** 2),
+                        )
+                    )
+                    used[i] = used[j] = True
+                    break
+            else:  # pragma: no cover
+                raise ValueError("unpaired complex pole")
+        elif (
+            i + 1 < len(p)
+            and abs(p[i + 1] - p[i]) < 1e-5
+            and abs(p[i + 1].imag) < 1e-9
+        ):
+            # repeated real pole: residuez orders ascending powers
+            pp = p[i].real
+            sections.append(((r[i].real,), (1.0, -pp)))
+            sections.append(((r[i + 1].real,), (1.0, -2 * pp, pp * pp)))
+            used[i] = used[i + 1] = True
+        else:
+            sections.append(((r[i].real,), (1.0, -p[i].real)))
+            used[i] = True
+    # drop numerically-zero sections (the double-pole residue vanishes for
+    # the BS.1770 high-pass numerator)
+    sections = tuple(
+        (tuple(bb), tuple(aa))
+        for bb, aa in sections
+        if max(abs(x) for x in bb) > 1e-12
+    )
+    return float(k[0].real), sections
 
 
 def _high_shelf(g_db: float, q: float, fc: float, rate: float):

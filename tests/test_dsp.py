@@ -115,7 +115,7 @@ def _numpy_bs1770(x, sr):
 
 
 @pytest.mark.parametrize("sr", [48000, 44100, 16000])
-@pytest.mark.parametrize("method,rtol", [("scan", 1e-8), ("fir", 2e-5), ("blocked", 2e-5)])
+@pytest.mark.parametrize("method,rtol", [("scan", 1e-8), ("fir", 2e-5), ("blocked", 2e-5), ("blocked-parallel", 2e-6)])
 def test_integrated_loudness_vs_numpy(sr, method, rtol):
     rng = np.random.default_rng(sr % 13)
     n = int(2.0 * sr)
