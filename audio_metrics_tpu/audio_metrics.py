@@ -206,46 +206,43 @@ class AudioMetrics:
     # ------------------------------------------------------------------
     # PCA projections (lazy, cached; reference audio_metrics.py:163-209)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _projected_stats(projection, embeddings, store_embeddings):
+        """Project raw embeddings and re-accumulate their statistics."""
+        stats = AudioMetricsData(store_embeddings)
+        stats.add(projection.transform(embeddings))
+        return stats
+
     def ensure_stem_projection(self, ref, cand):
         if self.stem_projection is None:
             return ref, cand
-
-        store_embs = any(m in self._need_embeddings for m in self.metrics)
-
+        store = any(m in self._need_embeddings for m in self.metrics)
         if self.stem_reference_pca is None:
+            # Fit once, on the reference only; every later candidate is
+            # projected with the frozen basis so repeated evaluate() calls
+            # stay mutually comparable.  add_reference invalidates this.
             self.stem_projection.partial_fit(ref.embeddings)
-            ref_emb = self.stem_projection.transform(ref.embeddings)
-            ref = AudioMetricsData(store_embs)
-            ref.add(ref_emb)
-            self.stem_reference_pca = ref
-
-        ref = self.stem_reference_pca
-        cand_emb = self.stem_projection.transform(cand.embeddings)
-        cand = AudioMetricsData(store_embs)
-        cand.add(cand_emb)
-        return ref, cand
+            self.stem_reference_pca = self._projected_stats(
+                self.stem_projection, ref.embeddings, store
+            )
+        cand = self._projected_stats(self.stem_projection, cand.embeddings, store)
+        return self.stem_reference_pca, cand
 
     def ensure_mix_projection(self, ref, anti_ref, cand):
         if self.mix_projection is None:
             return ref, anti_ref, cand
-
         if self.mix_reference_pca is None:
             self.mix_projection.partial_fit(ref.embeddings)
-            ref_emb = self.mix_projection.transform(ref.embeddings)
-            anti_ref_emb = self.mix_projection.transform(anti_ref.embeddings)
-            # only apa + fad use mixes, so no need for embeddings
-            ref = AudioMetricsData(store_embeddings=False)
-            anti_ref = AudioMetricsData(store_embeddings=False)
-            ref.add(ref_emb)
-            anti_ref.add(anti_ref_emb)
-            self.mix_reference_pca = ref
-            self.mix_anti_reference_pca = anti_ref
-
-        ref, anti_ref = self.mix_reference_pca, self.mix_anti_reference_pca
-        cand_emb = self.mix_projection.transform(cand.embeddings)
-        cand = AudioMetricsData(store_embeddings=False)
-        cand.add(cand_emb)
-        return ref, anti_ref, cand
+            # Projected mix stats feed APA's Frechet distances, which read
+            # (mu, Sigma) only — raw projected embeddings are not retained.
+            self.mix_reference_pca = self._projected_stats(
+                self.mix_projection, ref.embeddings, False
+            )
+            self.mix_anti_reference_pca = self._projected_stats(
+                self.mix_projection, anti_ref.embeddings, False
+            )
+        cand = self._projected_stats(self.mix_projection, cand.embeddings, False)
+        return self.mix_reference_pca, self.mix_anti_reference_pca, cand
 
     # ------------------------------------------------------------------
     # evaluation

@@ -1,20 +1,30 @@
 """Streaming shuffle with a minimum-reemission-age constraint.
 
-Counterpart of reference src/audio_metrics/util/shuffle.py:5-86.  A fixed-size
-buffer is filled from the stream; each incoming item then evicts (and yields)
-a uniformly-chosen buffered item from an *eligible* region that excludes the
-``min_age`` most recently inserted slots, so a freshly inserted item cannot be
-re-emitted immediately.  Used at song level (APA reference shuffling) and at
-window level (misaligned-pair construction, embed.py:154-184).
+Behavioral counterpart of reference src/audio_metrics/util/shuffle.py:5-86,
+rebuilt around a different data structure: instead of a cyclic eligible
+window over an index array, we keep two explicit containers —
 
-This runs on host: it is a sequential O(1)-per-item index shuffle over Python
-object handles — there is nothing for a TPU to accelerate here, and keeping it
-on host preserves lazy streaming.
+- ``pool``: items old enough to be emitted (unordered; O(1) swap-pop),
+- ``aging``: a FIFO of the ``min_age`` most recent insertions, which are
+  temporarily protected from emission.
+
+Each incoming stream item displaces one uniformly-chosen pool item (which is
+yielded), enters the aging FIFO, and pushes the FIFO's oldest entry into the
+pool.  The guarantee this provides — an item is never re-emitted within
+``min_age`` subsequent insertions of entering the buffer — is what the
+misaligned-pair construction relies on (a window is never paired with
+itself); tests/test_shuffle.py pins it directly.
+
+This runs on host: it is a sequential O(1)-per-item shuffle over Python
+object handles — there is nothing for a TPU to accelerate here, and keeping
+it on host preserves lazy streaming.
 """
 
 from __future__ import annotations
 
+import itertools
 import random
+from collections import deque
 
 __all__ = ["shuffle_stream"]
 
@@ -26,36 +36,26 @@ def shuffle_stream(iterator, buffer_size=100, seed=None, min_age=0, desc=None):
     it to a tqdm bar); progress reporting is handled by the pipeline here.
     """
     del desc
-    iterator = iter(iterator)
     rng = random if seed is None else random.Random(seed)
+    iterator = iter(iterator)
 
-    buffer = []
-    indices = []
-    for i in range(buffer_size):
-        try:
-            buffer.append(next(iterator))
-        except StopIteration:
-            break
-        indices.append(i)
-
-    total = len(buffer)
-    if total == 0:
+    held = list(itertools.islice(iterator, buffer_size))
+    if not held:
         return
 
-    # keep at least one slot eligible
-    effective_min_age = min(min_age, total - 1)
-    n_eligible = total - effective_min_age
-    offset = 0  # start of the eligible region (cyclic)
+    # Protect at most len(held)-1 recent insertions so the pool is never
+    # empty; seed the FIFO with the newest items of the warmup fill.
+    protected = min(min_age, len(held) - 1)
+    aging = deque(held[len(held) - protected:])
+    pool = held[: len(held) - protected]
 
     for item in iterator:
-        pos = rng.randrange(n_eligible)
-        j = (offset + pos) % total
-        idx = indices[j]
-        yield buffer[idx]
-        buffer[idx] = item
-        indices[j], indices[offset] = indices[offset], indices[j]
-        offset = (offset + 1) % total
+        r = rng.randrange(len(pool))
+        pool[r], pool[-1] = pool[-1], pool[r]
+        yield pool.pop()
+        aging.append(item)
+        pool.append(aging.popleft())
 
-    rng.shuffle(indices)
-    for i in indices:
-        yield buffer[i]
+    tail = pool + list(aging)
+    rng.shuffle(tail)
+    yield from tail
