@@ -16,7 +16,37 @@ is the mesh's job, not the model's.
 
 from __future__ import annotations
 
+import logging
+import os
+
 __all__ = ["Embedder"]
+
+logger = logging.getLogger(__name__)
+
+
+def _require_random_weights_optin(name: str, ckpt, allowed: bool) -> None:
+    """Raise unless random weights were explicitly opted into.
+
+    Metric values from randomly initialized embedders are meaningless; the
+    reference's behavior is download-or-die (embedders/clap.py:17-18,
+    vggish.py:7-13).  Benchmarks and pipeline tests that only need the FLOPs
+    pass ``allow_random_weights=True`` or set AM_TPU_ALLOW_RANDOM_WEIGHTS=1.
+    """
+    if allowed or os.environ.get("AM_TPU_ALLOW_RANDOM_WEIGHTS"):
+        logger.warning(
+            "%s: no checkpoint available; using seeded random weights "
+            "(benchmark-valid FLOPs, NOT metric-valid values)", name
+        )
+        return
+    raise RuntimeError(
+        f"{name}: checkpoint unavailable"
+        + (f" ({ckpt})" if ckpt else " (no ckpt specified)")
+        + ". Provide a local path via ckpt=/path/to/file, provision the file "
+        "under $AM_TPU_CKPT_DIR or the download cache (utils/get_url.py), or "
+        "pass allow_random_weights=True / set AM_TPU_ALLOW_RANDOM_WEIGHTS=1 "
+        "to run with seeded random weights (benchmarking only — metric "
+        "values from random weights are meaningless)."
+    )
 
 
 class Embedder:

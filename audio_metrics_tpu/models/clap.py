@@ -20,8 +20,9 @@ Output selection matches the reference layer taps (clap.py:7):
 Checkpoints: ``convert_checkpoint`` accepts HF Clap state dicts or original
 LAION ``.pt`` checkpoints (fused-qkv splitting + key renaming).  The same
 cached-download mechanism as the reference (utils/get_url.py) resolves the
-two published checkpoint URLs when network is available; otherwise seeded
-random weights are used (benchmark-valid FLOPs, not metric-valid values).
+two published checkpoint URLs when network is available (or a provisioned
+copy under $AM_TPU_CKPT_DIR); a missing checkpoint raises unless random
+weights are explicitly opted into (allow_random_weights=True).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.mel import log_mel_spectrogram
-from .base import Embedder
+from .base import Embedder, _require_random_weights_optin
 from .htsat import HTSAT_BASE, HTSAT_TINY, HTSATConfig, htsat_encode, init_params
 
 __all__ = [
@@ -48,6 +49,11 @@ __all__ = [
 ]
 
 logger = logging.getLogger(__name__)
+
+# Read once at import: this flag selects a branch of a traced program and is
+# not part of the jit cache key, so toggling it after the first forward
+# would be silently ignored.
+_NO_MEL_TILE = bool(os.environ.get("AM_TPU_NO_MEL_TILE"))
 
 LAION_CLAP_MUSIC_SPEECH_CHECKPOINT_URL = "https://huggingface.co/lukewys/laion_clap/resolve/main/music_speech_audioset_epoch_15_esc_89.98.pt"
 LAION_CLAP_MUSIC_CHECKPOINT_URL = "https://huggingface.co/lukewys/laion_clap/resolve/main/music_audioset_epoch_15_esc_90.14.pt"
@@ -139,7 +145,7 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
     copy and host->device transfers stay at the original clip length.
     """
     n = audio.shape[1]
-    if _can_tile_mel(n) and not os.environ.get("AM_TPU_NO_MEL_TILE"):
+    if _can_tile_mel(n) and not _NO_MEL_TILE:
         # default 5 s windows: exact repeat-pad mel at ~half the cost, and
         # the 10 s tiled waveform never exists in HBM
         mel = clap_mel_tiled(audio, compute_dtype=compute_dtype)
@@ -216,10 +222,17 @@ class LaionCLAP(Embedder):
         cfg: HTSATConfig = HTSAT_BASE,
         seed: int = 0,
         compute_dtype: str | None = None,
+        allow_random_weights: bool = False,
     ):
         """``compute_dtype="bfloat16"`` runs the transformer's matmuls in
         bf16 on the MXU (~2x throughput on v5e) with f32 normalization,
-        softmax and pooling; default float32."""
+        softmax and pooling; default float32.
+
+        A missing checkpoint RAISES unless ``allow_random_weights=True`` (or
+        ``AM_TPU_ALLOW_RANDOM_WEIGHTS=1``): for a metrics library, random
+        weights silently produce plausible-looking but meaningless FAD/KD
+        numbers (the reference downloads-or-dies, embedders/clap.py:17-18).
+        """
         self.layer = layer
         self.cfg = cfg
         self.compute_dtype = (
@@ -227,12 +240,9 @@ class LaionCLAP(Embedder):
         )
         self._rng = np.random.default_rng(seed)
         if params is None and ckpt is not None:
-            params = _load_params(ckpt)
+            params = _load_params(ckpt, cfg)
         if params is None:
-            logger.warning(
-                "LaionCLAP: no checkpoint available; using seeded random "
-                "weights (benchmark-valid FLOPs, not metric-valid values)"
-            )
+            _require_random_weights_optin("LaionCLAP", ckpt, allow_random_weights)
             params = init_params(cfg, seed=seed)
             params.update(init_projection_params(cfg, seed=seed))
         self.params = jax.tree.map(jnp.asarray, params)
@@ -314,13 +324,27 @@ _LAION_RENAMES = [
 _KEEP_PREFIXES = ("audio_encoder.", "audio_projection.")
 
 
-def convert_checkpoint(state_dict: dict) -> dict:
+def expected_param_keys(cfg: HTSATConfig) -> set:
+    """The exact key set the forward consumes for ``cfg``."""
+    return set(init_params(cfg, seed=0)) | set(init_projection_params(cfg))
+
+
+def convert_checkpoint(
+    state_dict: dict, cfg: HTSATConfig | None = None, strict: bool = False
+) -> dict:
     """Convert a CLAP checkpoint (LAION .pt or HF) to our param dict.
 
     Handles: 'module.' / 'model.' / 'audio_model.' prefixes, LAION->HF key
     renames, fused qkv splitting.  Text-tower and classifier-head weights are
     dropped (this framework embeds audio only, like the reference's use of
     the model).
+
+    With ``cfg`` the result is filtered to exactly the keys the forward
+    consumes (dropping LAION's DSP-frontend weights, buffers like
+    relative_position_index, and HTSAT's tscam/classifier head); with
+    ``strict`` a checkpoint that does not cover that key set RAISES with the
+    missing keys listed — a layout mismatch must fail loudly, not embed
+    garbage.  Real checkpoint loads (``_load_params``) use both.
     """
     flat = {}
     for key, val in state_dict.items():
@@ -351,22 +375,32 @@ def convert_checkpoint(state_dict: dict) -> dict:
             params[key] = arr
         else:
             params[key] = arr
+
+    if cfg is not None:
+        expected = expected_param_keys(cfg)
+        missing = expected - set(params)
+        if strict and missing:
+            raise ValueError(
+                f"CLAP checkpoint conversion incomplete for {cfg}: "
+                f"{len(missing)} of {len(expected)} keys missing, e.g. "
+                f"{sorted(missing)[:5]} — wrong checkpoint or layout drift"
+            )
+        params = {k: v for k, v in params.items() if k in expected}
     return params
 
 
-def _load_params(ckpt: str) -> dict | None:
-    """Resolve a checkpoint URL/path via the download cache and convert it."""
-    from ..utils.get_url import download_url
-    from pathlib import Path
+def _load_params(ckpt: str, cfg: HTSATConfig = HTSAT_BASE) -> dict | None:
+    """Resolve a checkpoint URL/path (local dir / cache / download) and
+    convert it; None when unreachable (air-gapped host without a
+    provisioned copy — see AM_TPU_CKPT_DIR in utils/get_url.py)."""
+    from ..utils.get_url import resolve_checkpoint
 
-    try:
-        path = ckpt if Path(ckpt).exists() else download_url(ckpt)
-    except Exception as exc:  # no network in air-gapped deployments
-        logger.warning("CLAP checkpoint unavailable (%s)", exc)
+    path = resolve_checkpoint(ckpt)
+    if path is None:
         return None
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
-    return convert_checkpoint(state)
+    return convert_checkpoint(state, cfg=cfg, strict=True)

@@ -18,9 +18,11 @@ non-overlapping 96-frame patches.  All of it runs on device via matmul-DFT
 (ops/mel.py), batched over the whole window batch, unlike the reference's
 per-item host preprocessing (vggish.py:27-31).
 
-Weights: ``convert_torch_state_dict`` maps the torchvggish checkpoint;
-without a local checkpoint the model falls back to seeded random init
-(useful for benchmarks/tests; a warning is emitted once).
+Weights: ``convert_torch_state_dict`` maps the torchvggish checkpoint,
+resolved like the reference's torch.hub download (URL below) via the local
+cache / $AM_TPU_CKPT_DIR.  A missing checkpoint raises unless random
+weights are explicitly opted into (allow_random_weights=True) — random
+embeddings give meaningless metric values.
 """
 
 from __future__ import annotations
@@ -33,11 +35,18 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.mel import log_mel_spectrogram
-from .base import Embedder
+from .base import Embedder, _require_random_weights_optin
 
 __all__ = ["VGGish", "vggish_log_mel_patches", "convert_torch_state_dict"]
 
 logger = logging.getLogger(__name__)
+
+# torchvggish release weights — the URL torch.hub resolves for the
+# reference's ``torch.hub.load("harritaylor/torchvggish")`` (vggish.py:7).
+VGGISH_CHECKPOINT_URL = (
+    "https://github.com/harritaylor/torchvggish/releases/download/"
+    "v0.1/vggish-10086976.pth"
+)
 
 SAMPLE_RATE = 16000
 _FRAME_LEN = 400  # 25 ms
@@ -169,15 +178,17 @@ class VGGish(Embedder):
         params: dict | None = None,
         ckpt: str | None = None,
         compute_dtype: str | None = None,
+        allow_random_weights: bool = False,
     ):
-        if params is None and ckpt is not None:
-            params = load_checkpoint(ckpt)
         if params is None:
-            logger.warning(
-                "VGGish: no checkpoint provided/found; using seeded random "
-                "weights (fine for benchmarks and pipeline tests, not for "
-                "real metric values)"
-            )
+            src = ckpt if ckpt is not None else VGGISH_CHECKPOINT_URL
+            from ..utils.get_url import resolve_checkpoint
+
+            path = resolve_checkpoint(src)
+            if path is not None:
+                params = load_checkpoint(path)
+        if params is None:
+            _require_random_weights_optin("VGGish", ckpt, allow_random_weights)
             params = init_params()
         self.params = jax.tree.map(jnp.asarray, params)
         self.compute_dtype = jnp.dtype(compute_dtype).type if compute_dtype else None

@@ -13,7 +13,7 @@ import os
 from pathlib import Path
 from urllib import request
 
-__all__ = ["download_url", "cache_dir"]
+__all__ = ["download_url", "cache_dir", "resolve_checkpoint"]
 
 logger = logging.getLogger(__name__)
 
@@ -27,6 +27,29 @@ def cache_dir() -> Path:
     return base / "audio_metrics_tpu"
 
 
+def resolve_checkpoint(src: str) -> str | None:
+    """Best-effort local resolution of a checkpoint URL or path.
+
+    Search order: an explicit local path; ``$AM_TPU_CKPT_DIR/<basename>``
+    (provisioned checkpoints on air-gapped hosts); the download cache; and
+    finally a network download.  Returns None when nothing is reachable —
+    the *caller* decides whether that is fatal (embedders raise by default).
+    """
+    name = src.rsplit("/", maxsplit=1)[-1]
+    if Path(src).exists():
+        return str(src)
+    ckpt_dir = os.environ.get("AM_TPU_CKPT_DIR")
+    if ckpt_dir and (Path(ckpt_dir) / name).exists():
+        return (Path(ckpt_dir) / name).as_posix()
+    if (cache_dir() / name).exists():
+        return (cache_dir() / name).as_posix()
+    try:
+        return download_url(src)
+    except Exception as exc:
+        logger.warning("checkpoint %s unavailable: %s", name, exc)
+        return None
+
+
 def download_url(url: str) -> str:
     """Return a local path for ``url``, downloading into the cache once."""
     name = url.rsplit("/", maxsplit=1)[-1]
@@ -36,9 +59,28 @@ def download_url(url: str) -> str:
         logger.info("Downloading %s to %s", url, fp)
         tmp = fp.with_suffix(fp.suffix + ".part")
         try:
-            request.urlretrieve(url, filename=tmp)
+            request.urlretrieve(url, filename=tmp, reporthook=_progress_hook(name))
             tmp.replace(fp)
         except Exception as exc:
             tmp.unlink(missing_ok=True)
             raise RuntimeError(f"Error downloading {url}") from exc
     return fp.as_posix()
+
+
+def _progress_hook(desc: str):
+    """tqdm download progress (reference get_url.py:12-41); no-op without
+    tqdm or without a tty."""
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        return None
+    bar = tqdm(
+        desc=desc, unit="B", unit_scale=True, unit_divisor=1024, leave=False
+    )
+
+    def hook(blocks: int, block_size: int, total_size: int):
+        if total_size > 0 and bar.total != total_size:
+            bar.total = total_size
+        bar.update(blocks * block_size - bar.n)
+
+    return hook

@@ -17,6 +17,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # JAX_PLATFORMS env var authoritative even then.
 import os
 
+# Demo convenience: run with random weights when no checkpoint is
+# provisioned (values are then NOT metric-valid; see models/base.py).
+os.environ.setdefault("AM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
 if os.environ.get("JAX_PLATFORMS"):
     import jax
 

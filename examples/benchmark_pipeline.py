@@ -21,6 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # JAX_PLATFORMS env var authoritative even then.
 import os
 
+# Benchmark convenience: random weights are fine for throughput numbers.
+os.environ.setdefault("AM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
 if os.environ.get("JAX_PLATFORMS"):
     import jax
 

@@ -181,7 +181,7 @@ def test_clap_taps(hf_clap):
 
 
 def test_clap_random_init_runs():
-    emb = LaionCLAP()  # random weights, base config
+    emb = LaionCLAP(allow_random_weights=True)  # random weights, base config
     rng = np.random.default_rng(4)
     audio = rng.normal(size=(2, 240000)).astype(np.float32)
     out = emb.forward({"audio": audio})
@@ -270,7 +270,7 @@ def test_vggish_mel_matches_spec():
 
 
 def test_vggish_embedder_interface():
-    emb = VGGish()
+    emb = VGGish(allow_random_weights=True)
     rng = np.random.default_rng(7)
     audio = rng.normal(size=(3, 5 * 16000)).astype(np.float32)
     out = emb.forward({"audio": audio})
@@ -306,8 +306,8 @@ def test_clap_bf16_close_to_f32():
     params = None
     rng = np.random.default_rng(8)
     audio = (0.2 * rng.normal(size=(2, clap_mod.MAX_SAMPLES // 2))).astype(np.float32)
-    e32 = clap_mod.LaionCLAP(cfg=HTSAT_TINY, seed=3)
-    e16 = clap_mod.LaionCLAP(cfg=HTSAT_TINY, seed=3, compute_dtype="bfloat16")
+    e32 = clap_mod.LaionCLAP(cfg=HTSAT_TINY, seed=3, allow_random_weights=True)
+    e16 = clap_mod.LaionCLAP(cfg=HTSAT_TINY, seed=3, compute_dtype="bfloat16", allow_random_weights=True)
     o32 = np.asarray(e32.forward({"audio": audio})["embedding"])
     o16 = np.asarray(e16.forward({"audio": audio})["embedding"])
     # both normalized; cosine similarity must be very high
@@ -356,14 +356,14 @@ def test_laion_checkpoint_load_end_to_end(tmp_path, hf_clap, monkeypatch):
     fp = tmp_path / "laion_ckpt.pt"
     torch.save(laion_sd, fp)
 
-    params = _load_params(str(fp))
+    cfg = HTSATConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(4, 8, 16, 32))
+    params = _load_params(str(fp), cfg)  # strict: must fully cover cfg
     assert params is not None
     base = "audio_encoder.layers.0.blocks.0"
     assert f"{base}.attention.self.query.weight" in params
     assert "audio_projection.linear1.weight" in params
 
     # loaded params give the same embedding as direct HF conversion
-    cfg = HTSATConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(4, 8, 16, 32))
     rng = np.random.default_rng(9)
     audio = (0.1 * rng.normal(size=(1, MAX_SAMPLES // 2))).astype(np.float32)
     direct = LaionCLAP(params=convert_checkpoint(sd), cfg=cfg)

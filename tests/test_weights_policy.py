@@ -1,0 +1,236 @@
+"""Missing-checkpoint policy: raise by default, random weights by opt-in.
+
+Reference behavior is download-or-die (embedders/clap.py:17-18,
+vggish.py:7-13); random weights must never silently produce metric values.
+"""
+
+import numpy as np
+import pytest
+
+from audio_metrics_tpu.models.htsat import HTSAT_TINY
+from audio_metrics_tpu.utils.get_url import resolve_checkpoint
+
+
+def test_vggish_raises_without_checkpoint(monkeypatch, tmp_path):
+    from audio_metrics_tpu.models.vggish import VGGish
+
+    monkeypatch.delenv("AM_TPU_ALLOW_RANDOM_WEIGHTS", raising=False)
+    monkeypatch.setenv("AM_TPU_CACHE_DIR", str(tmp_path))  # empty cache
+    monkeypatch.delenv("AM_TPU_CKPT_DIR", raising=False)
+    with pytest.raises(RuntimeError, match="allow_random_weights"):
+        VGGish(ckpt="file:///nonexistent/vggish.pth")
+
+
+def test_clap_raises_without_checkpoint(monkeypatch, tmp_path):
+    from audio_metrics_tpu.models.clap import LaionCLAP
+
+    monkeypatch.delenv("AM_TPU_ALLOW_RANDOM_WEIGHTS", raising=False)
+    monkeypatch.setenv("AM_TPU_CACHE_DIR", str(tmp_path))
+    with pytest.raises(RuntimeError, match="checkpoint unavailable"):
+        LaionCLAP(cfg=HTSAT_TINY)
+
+
+def test_optin_allows_random_weights(monkeypatch, tmp_path):
+    from audio_metrics_tpu.models.clap import LaionCLAP
+
+    monkeypatch.setenv("AM_TPU_CACHE_DIR", str(tmp_path))
+    emb = LaionCLAP(cfg=HTSAT_TINY, allow_random_weights=True)
+    assert emb.params
+
+
+def test_env_optin_allows_random_weights(monkeypatch, tmp_path):
+    from audio_metrics_tpu.models.vggish import VGGish
+
+    monkeypatch.setenv("AM_TPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("AM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    emb = VGGish(ckpt="file:///nonexistent/vggish.pth")
+    assert emb.params
+
+
+def test_resolve_checkpoint_prefers_ckpt_dir(monkeypatch, tmp_path):
+    prov = tmp_path / "provisioned"
+    prov.mkdir()
+    (prov / "model.pt").write_bytes(b"x")
+    monkeypatch.setenv("AM_TPU_CKPT_DIR", str(prov))
+    monkeypatch.setenv("AM_TPU_CACHE_DIR", str(tmp_path / "cache"))
+    got = resolve_checkpoint("https://example.invalid/model.pt")
+    assert got == (prov / "model.pt").as_posix()
+
+
+def test_resolve_checkpoint_local_path(tmp_path):
+    fp = tmp_path / "w.pt"
+    fp.write_bytes(b"x")
+    assert resolve_checkpoint(str(fp)) == str(fp)
+
+
+def test_resolve_checkpoint_unreachable_returns_none(monkeypatch, tmp_path):
+    monkeypatch.setenv("AM_TPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("AM_TPU_CKPT_DIR", raising=False)
+    assert resolve_checkpoint("https://example.invalid/nope.pt") is None
+
+
+def test_vggish_loads_provisioned_checkpoint(monkeypatch, tmp_path):
+    """A provisioned torchvggish-format .pth under AM_TPU_CKPT_DIR is found
+    and converted by default construction (no ckpt argument)."""
+    import torch
+    from audio_metrics_tpu.models import vggish as vg
+
+    rng = np.random.default_rng(0)
+    # torchvggish VGG state dict: the real key set of the hub model
+    shapes = {
+        "features.0.weight": (64, 1, 3, 3), "features.0.bias": (64,),
+        "features.3.weight": (128, 64, 3, 3), "features.3.bias": (128,),
+        "features.6.weight": (256, 128, 3, 3), "features.6.bias": (256,),
+        "features.8.weight": (256, 256, 3, 3), "features.8.bias": (256,),
+        "features.11.weight": (512, 256, 3, 3), "features.11.bias": (512,),
+        "features.13.weight": (512, 512, 3, 3), "features.13.bias": (512,),
+        "embeddings.0.weight": (4096, 12288), "embeddings.0.bias": (4096,),
+        "embeddings.2.weight": (4096, 4096), "embeddings.2.bias": (4096,),
+        "embeddings.4.weight": (128, 4096), "embeddings.4.bias": (128,),
+    }
+    state = {
+        k: torch.from_numpy(rng.normal(scale=0.02, size=v).astype(np.float32))
+        for k, v in shapes.items()
+    }
+    prov = tmp_path / "ckpts"
+    prov.mkdir()
+    torch.save(state, prov / "vggish-10086976.pth")
+    monkeypatch.setenv("AM_TPU_CKPT_DIR", str(prov))
+    monkeypatch.setenv("AM_TPU_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.delenv("AM_TPU_ALLOW_RANDOM_WEIGHTS", raising=False)
+
+    emb = vg.VGGish()  # no opt-in needed: real (fabricated-format) ckpt found
+    # conversion keeps torch OIHW layout (the jax forward consumes OIHW)
+    got = np.asarray(emb.params["features.0.weight"])
+    np.testing.assert_array_equal(got, state["features.0.weight"].numpy())
+    got = np.asarray(emb.params["embeddings.4.weight"])
+    np.testing.assert_array_equal(got, state["embeddings.4.weight"].numpy())
+
+
+def _laion_key(k: str) -> str:
+    """Invert our HF-style names to the authentic LAION HTSAT names."""
+    k = k.replace("audio_encoder.", "audio_branch.")
+    k = k.replace("batch_norm.", "bn0.")
+    k = k.replace("attention.output.dense.", "attn.proj.")
+    k = k.replace(
+        "attention.self.relative_position_bias_table",
+        "attn.relative_position_bias_table",
+    )
+    k = k.replace("intermediate.dense.", "mlp.fc1.")
+    if ".attn." not in k and ".attention." not in k:
+        k = k.replace("output.dense.", "mlp.fc2.")
+    k = k.replace("layernorm_before.", "norm1.")
+    k = k.replace("layernorm_after.", "norm2.")
+    k = k.replace("audio_projection.linear1.", "audio_projection.0.")
+    k = k.replace("audio_projection.linear2.", "audio_projection.2.")
+    return k
+
+
+def test_laion_real_key_surface_roundtrip(tmp_path, monkeypatch):
+    """Fabricate a checkpoint with the AUTHENTIC LAION .pt surface — the
+    full key set of laion_clap's HTSAT audio branch (DSP frontend weights,
+    int buffers, tscam/classifier head), the text tower, logit scales, the
+    'module.' DataParallel prefix and the {'state_dict': ...} wrapper — and
+    load it through the real plumbing with strict coverage checking."""
+    import torch
+    from audio_metrics_tpu.models import clap as clap_mod
+    from audio_metrics_tpu.models.clap import (
+        _load_params,
+        expected_param_keys,
+    )
+
+    cfg = HTSAT_TINY
+    rng = np.random.default_rng(4)
+    expected = expected_param_keys(cfg)
+
+    laion_sd = {}
+    # model weights, at their real LAION names (q/k/v fused into qkv)
+    done_qkv = set()
+    from audio_metrics_tpu.models.htsat import init_params
+    from audio_metrics_tpu.models.clap import init_projection_params
+
+    ref = dict(init_params(cfg, seed=11))
+    ref.update(init_projection_params(cfg, seed=11))
+    for k, v in ref.items():
+        if ".attention.self.query." in k or ".attention.self.key." in k or (
+            ".attention.self.value." in k
+        ):
+            base = (
+                k.replace(".attention.self.query.", ".attn.qkv.")
+                .replace(".attention.self.key.", ".attn.qkv.")
+                .replace(".attention.self.value.", ".attn.qkv.")
+            )
+            if base in done_qkv:
+                continue
+            done_qkv.add(base)
+            stem = k.split(".attention.self.")[0] + ".attention.self."
+            leaf = k.rsplit(".", 1)[1]  # weight / bias
+            fused = np.concatenate(
+                [ref[f"{stem}{n}.{leaf}"] for n in ("query", "key", "value")],
+                axis=0,
+            )
+            laion_sd[_laion_key(base)] = torch.from_numpy(fused)
+        else:
+            laion_sd[_laion_key(k)] = torch.from_numpy(np.asarray(v))
+
+    # the junk surface a real checkpoint carries
+    h = cfg.num_heads
+    junk = {
+        "audio_branch.spectrogram_extractor.stft.conv_real.weight": (513, 1, 1024),
+        "audio_branch.spectrogram_extractor.stft.conv_imag.weight": (513, 1, 1024),
+        "audio_branch.logmel_extractor.melW": (513, 64),
+        "audio_branch.tscam_conv.weight": (527, cfg.num_features, 3, 3),
+        "audio_branch.tscam_conv.bias": (527,),
+        "audio_branch.head.weight": (527, 527),
+        "audio_branch.head.bias": (527,),
+        "text_branch.embeddings.word_embeddings.weight": (49408, 512),
+        "text_projection.0.weight": (512, 512),
+        "text_projection.0.bias": (512,),
+        "text_projection.2.weight": (512, 512),
+        "text_projection.2.bias": (512,),
+    }
+    for k, shape in junk.items():
+        laion_sd[k] = torch.from_numpy(
+            rng.normal(scale=0.02, size=shape).astype(np.float32)
+        )
+    laion_sd["logit_scale_a"] = torch.tensor(4.6052)
+    laion_sd["logit_scale_t"] = torch.tensor(4.6052)
+    # int buffers (must not break conversion)
+    laion_sd["audio_branch.bn0.num_batches_tracked"] = torch.tensor(
+        118272, dtype=torch.int64
+    )
+    for i, d in enumerate(cfg.depths):
+        for j in range(d):
+            laion_sd[
+                f"audio_branch.layers.{i}.blocks.{j}.attn.relative_position_index"
+            ] = torch.zeros((64, 64), dtype=torch.int64)
+
+    wrapped = {
+        "epoch": 15,
+        "state_dict": {f"module.{k}": v for k, v in laion_sd.items()},
+    }
+    fp = tmp_path / "music_audioset_epoch_15_esc_90.14.pt"
+    torch.save(wrapped, fp)
+
+    params = _load_params(str(fp), cfg)
+    assert params is not None
+    # exact coverage: nothing missing, nothing extra (junk all dropped)
+    assert set(params) == expected
+    # batch-norm running stats came through
+    np.testing.assert_array_equal(
+        params["audio_encoder.batch_norm.running_var"],
+        ref["audio_encoder.batch_norm.running_var"],
+    )
+    # qkv split layout: query is the FIRST third
+    k0 = "audio_encoder.layers.0.blocks.0.attention.self.query.weight"
+    np.testing.assert_array_equal(params[k0], ref[k0])
+    k2 = "audio_encoder.layers.1.blocks.1.attention.self.value.bias"
+    np.testing.assert_array_equal(params[k2], ref[k2])
+
+    # strict mode fails loudly on an incomplete checkpoint
+    broken = dict(wrapped["state_dict"])
+    del broken["module.audio_branch.patch_embed.proj.weight"]
+    fp2 = tmp_path / "broken.pt"
+    torch.save({"state_dict": broken}, fp2)
+    with pytest.raises(ValueError, match="incomplete"):
+        _load_params(str(fp2), cfg)
