@@ -33,26 +33,72 @@ __all__ = [
     "mix_tracks_loudness",
     "MIX_FUNCTIONS",
     "DEFAULT_MIX_FUNCTION",
+    "emit_mix_diagnostics",
 ]
 
 _EPS = 1e-5
 
 
 def _batched(fn):
-    """Accept (n, 2) or (B, n, 2); mark as batch-capable for the pipeline."""
+    """Accept (n, 2) or (B, n, 2); mark as batch-capable for the pipeline.
 
-    def wrapper(audio, sr=None, **kwargs):
+    ``diag``: optional list collecting per-batch diagnostic flag pytrees
+    (device arrays, NOT fetched here — ``emit_mix_diagnostics`` does one
+    deferred fetch per eval so the device pipeline never syncs mid-stream).
+    With ``diag=None`` (direct per-window use, reference protocol) the
+    warnings fire immediately, matching mix_functions.py:293-299.
+    """
+
+    def wrapper(audio, sr=None, diag=None, **kwargs):
         x = jnp.asarray(audio, dtype=jnp.float32)
-        if x.ndim == 2:
-            return fn(x[None], sr=sr, **kwargs)[0]
+        single = x.ndim == 2
+        if single:
+            x = x[None]
         if x.ndim != 3:
             raise ValueError(f"audio must be (n, ch) or (batch, n, ch), got {x.shape}")
-        return fn(x, sr=sr, **kwargs)
+        out = fn(x, sr=sr, **kwargs)
+        if isinstance(out, tuple):
+            out, flags = out
+            if diag is not None:
+                diag.append(flags)
+            else:
+                emit_mix_diagnostics([flags])
+        return out[0] if single else out
 
     wrapper.is_batched_mix = True
     wrapper.__name__ = fn.__name__
     wrapper.__doc__ = fn.__doc__
     return wrapper
+
+
+def emit_mix_diagnostics(diag) -> None:
+    """Fetch accumulated mix flags ONCE and surface the reference's audio
+    warnings (mix_functions.py:270,293-299): silent channels and
+    peak-gain reduction.  Aggregated over all windows of a run."""
+    if not diag:
+        return
+    import numpy as _np
+
+    flags = jax.device_get(diag)
+    n_both = n_one = 0
+    peaks = []
+    for f in flags:
+        valid = _np.asarray(f.get("valid", True)).astype(bool)
+        n_both += int((_np.asarray(f["both_silent"]) & valid).sum())
+        n_one += int((_np.asarray(f["one_silent"]) & valid).sum())
+        p = _np.atleast_1d(_np.asarray(f["peak"]))
+        peaks.append(_np.where(valid, p, 0.0))
+    peaks = _np.concatenate(peaks)
+    n_lim = int((peaks > 1.0).sum())
+    if n_both:
+        warnings.warn(f"Both channels silent ({n_both} of {peaks.size} windows)")
+    if n_one:
+        warnings.warn(f"One channel silent ({n_one} of {peaks.size} windows)")
+    if n_lim:
+        warnings.warn(
+            f"Reducing gain (peak amp: {peaks.max():.2f}; "
+            f"{n_lim} of {peaks.size} windows limited)"
+        )
 
 
 # ----------------------------------------------------------------------
@@ -143,7 +189,9 @@ def _mix_loudness_jit(audio, sr: int, stem_db_red: float, out_db: float):
     )
 
     # both channels silent: pass channel 0 through untouched
-    return jnp.where(both_silent[:, None], audio[:, :, 0], mix32)
+    out = jnp.where(both_silent[:, None], audio[:, :, 0], mix32)
+    flags = {"both_silent": both_silent, "one_silent": one_silent, "peak": peak}
+    return out, flags
 
 
 @_batched

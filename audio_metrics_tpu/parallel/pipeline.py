@@ -24,6 +24,7 @@ models are replicated CUDA modules.  Here the design is inverted:
 
 from __future__ import annotations
 
+import logging
 import os
 import random
 import threading
@@ -36,10 +37,13 @@ import jax
 import jax.numpy as jnp
 
 from ..data import AudioMetricsData, batch_moments, ensure_ndarray
+from ..ops.mix import emit_mix_diagnostics
 from ..ops.windowing import multi_audio_slicer, window_length
 from .shuffle import shuffle_stream
 
 __all__ = ["ItemCategory", "embedding_pipeline", "serialize_items", "batch_accumulator"]
+
+logger = logging.getLogger(__name__)
 
 
 class ItemCategory(IntEnum):
@@ -187,6 +191,16 @@ def _native_batches(
         # feed() is a use-after-free.
         nb.cancel()
         thread.join(timeout=30)
+        if thread.is_alive():
+            # cancel() only unblocks waits inside the native layer; a feeder
+            # stuck in the *user's* waveform iterator cannot be interrupted.
+            # The daemon thread (and the batcher its closure pins) leaks —
+            # make that visible instead of silent.
+            logger.warning(
+                "native-loader feeder thread did not exit within 30s after "
+                "cancel(); the source iterator appears blocked — the thread "
+                "is abandoned as a daemon"
+            )
     if errors:
         raise errors[0]
 
@@ -259,6 +273,135 @@ def _get_fused_embed_loop(embedder, batch_size: int):
     return loop
 
 
+def _get_fused_embed_loop_sharded(embedder, batch_size: int, mesh):
+    """Mesh-sharded variant of the fused embed loop (SPMD data parallelism).
+
+    The window set is sharded on its leading axis; every chip runs the same
+    local fori_loop over its shard (embedder forward + f32 Chan-merged
+    moments in-carry, exactly as the single-chip loop), so the fast path —
+    not just the streaming feeder — scales over the mesh.  Outputs:
+
+    - the embedding buffer stays SHARDED (``P(axis)``) — downstream KD/PRDC
+      consume device buffers and can keep them distributed;
+    - per-chip moment triples come back with a per-chip leading axis; the
+      cross-chip merge happens on host in f64 via the exact Chan update
+      (``AudioMetricsData.add_moments`` per chip) — d×d per chip is tiny,
+      and it avoids psum-ing centered M2 (which would need raw-moment form
+      and reintroduce the f32 cancellation ``batch_moments`` exists to
+      avoid).
+
+    This replaces the reference's multi-GPU embedding backend
+    (util/gpu_parallel.py:20-118) for device-resident inputs.
+    """
+    cache = getattr(embedder, "_am_fused_loops_sharded", None)
+    if cache is None:
+        cache = embedder._am_fused_loops_sharded = {}
+    key = (batch_size, id(mesh))
+    loop = cache.get(key)
+    if loop is not None:
+        return loop
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    embed_fn = embedder.embed_fn
+    axis = mesh.axis_names[0]
+    n_dev = mesh.size
+
+    @jax.jit
+    def loop(params, windows_padded, n_valid):
+        n_pad, win_len = windows_padded.shape
+        assert n_pad % (batch_size * n_dev) == 0
+        out_shape = jax.eval_shape(
+            lambda a: embed_fn(params, a),
+            jax.ShapeDtypeStruct((batch_size, win_len), jnp.float32),
+        )
+        d = out_shape.shape[-1]
+
+        def per_chip(params, w_local, n_valid):
+            local_n = w_local.shape[0]
+            base = jax.lax.axis_index(axis) * local_n
+
+            def body(i, carry):
+                buf, n_a, s1_a, m2_a = carry
+                audio = jax.lax.dynamic_slice_in_dim(
+                    w_local, i * batch_size, batch_size, axis=0
+                )
+                emb = embed_fn(params, audio).astype(jnp.float32)
+                mask = (
+                    base
+                    + i * batch_size
+                    + jax.lax.broadcasted_iota(jnp.int32, (batch_size, 1), 0)[:, 0]
+                ) < n_valid
+                n, s1, m2 = batch_moments(emb, mask)
+                n_t = n_a + n
+                mean1 = s1_a / jnp.maximum(n_a, 1.0)
+                mean2 = s1 / jnp.maximum(n, 1.0)
+                dm = mean2 - mean1
+                w = jnp.where(n_t > 0, n_a * n / jnp.maximum(n_t, 1.0), 0.0)
+                m2_t = m2_a + m2 + w * jnp.outer(dm, dm)
+                buf = jax.lax.dynamic_update_slice_in_dim(
+                    buf, emb, i * batch_size, axis=0
+                )
+                return buf, n_t, s1_a + s1, m2_t
+
+            init = (
+                jnp.zeros((local_n, d), jnp.float32),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((d,), jnp.float32),
+                jnp.zeros((d, d), jnp.float32),
+            )
+            # the carry becomes device-varying inside the body (the mask
+            # depends on axis_index); mark the init to match
+            init = jax.tree.map(lambda x: jax.lax.pvary(x, axis), init)
+            buf, n_t, s1_t, m2_t = jax.lax.fori_loop(
+                0, local_n // batch_size, body, init
+            )
+            # per-chip leading axis so out_specs P(axis) stacks the chips
+            return buf, n_t[None], s1_t[None], m2_t[None]
+
+        return shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )(params, windows_padded, n_valid)
+
+    cache[key] = loop
+    return loop
+
+
+def _run_fused_embed(embedder, w, n, batch_size, mesh):
+    """Dispatch the fused loop, sharded when a real mesh is present.
+
+    ``w``: (N, win_len) device windows, ``n``: number of valid rows.
+    Returns (buf, [(n, s1, m2), ...]) — one moment triple per chip.
+    """
+    sharded = mesh is not None and getattr(mesh, "size", 1) > 1
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.size
+        pad = (-w.shape[0]) % (batch_size * n_dev)
+        if pad:
+            w = jnp.pad(w, ((0, pad), (0, 0)))
+        w = jax.device_put(w, NamedSharding(mesh, P(mesh.axis_names[0])))
+        params = getattr(embedder, "params", {})
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        loop = _get_fused_embed_loop_sharded(embedder, batch_size, mesh)
+        buf, nn, s1, m2 = loop(params, w, jnp.asarray(n, jnp.int32))
+        nn, s1, m2 = jax.device_get((nn, s1, m2))
+        triples = [(nn[i], s1[i], m2[i]) for i in range(nn.shape[0])]
+        return buf, triples
+    pad = (-w.shape[0]) % batch_size
+    if pad:
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+    loop = _get_fused_embed_loop(embedder, batch_size)
+    buf, nn, s1, m2 = loop(
+        getattr(embedder, "params", {}), w, jnp.asarray(n, jnp.int32)
+    )
+    return buf, [jax.device_get((nn, s1, m2))]
+
+
 def _device_windows(waveforms, win_len: int, hop_len: int):
     """(N, n_samples) device array -> (N*k, win_len) windows on device,
     item-major order (matching multi_audio_slicer).  Returns None when the
@@ -303,6 +446,7 @@ def _device_pair_eval(
     seed,
     store_mix: bool,
     store_stem: bool,
+    mesh=None,
 ):
     """Device-resident APA path: (N*k, win, 2) pair windows -> per-category
     AudioMetricsData without any host round-trip.  Mixing runs in 64-pair
@@ -319,16 +463,10 @@ def _device_pair_eval(
 
     def embed_set(mono, store):
         n = mono.shape[0]
-        pad = (-n) % batch_size
-        if pad:
-            mono = jnp.pad(mono, ((0, pad), (0, 0)))
-        loop = _get_fused_embed_loop(embedder, batch_size)
-        buf, nn, s1, m2 = loop(
-            getattr(embedder, "params", {}), mono, jnp.asarray(n, jnp.int32)
-        )
+        buf, triples = _run_fused_embed(embedder, mono, n, batch_size, mesh)
         amd = AudioMetricsData(store)
-        nn_h, s1_h, m2_h = jax.device_get((nn, s1, m2))
-        amd.add_moments(nn_h, s1_h, m2_h)
+        for nn_h, s1_h, m2_h in triples:
+            amd.add_moments(nn_h, s1_h, m2_h)
         if store:
             amd._embedding_chunks.append(buf[:n])
             amd._embeddings_cat = None
@@ -336,12 +474,17 @@ def _device_pair_eval(
         return amd
 
     chunk = 64
+    mix_diag = []
 
     def mix_all(pairs_at):
         outs = []
         for i in range(0, n_w, chunk):
             c = min(chunk, n_w - i)
-            outs.append(jnp.asarray(_device_mix(mix_function, pairs_at(i, c), sr=sr)))
+            outs.append(
+                jnp.asarray(
+                    _device_mix(mix_function, pairs_at(i, c), sr=sr, diag=mix_diag)
+                )
+            )
         return jnp.concatenate(outs, axis=0)
 
     out = {}
@@ -349,8 +492,20 @@ def _device_pair_eval(
     out[ItemCategory.aligned] = embed_set(aligned_mix, store_mix)
     del aligned_mix
     if apa_mode == "reference":
+        # Derangement, not a plain permutation: rng.permutation has ~1
+        # expected fixed point, which would leak an aligned pair into the
+        # misaligned set and bias APA upward for small window counts.  A
+        # conjugated nonzero cyclic shift (pairing[p[k]] = p[(k+s) % n]) has
+        # no fixed points by construction.
         rng = np.random.default_rng(seed)
-        perm = jnp.asarray(rng.permutation(n_w))
+        if n_w > 1:
+            p = rng.permutation(n_w)
+            s = int(rng.integers(1, n_w))
+            derangement = np.empty(n_w, np.int64)
+            derangement[p] = np.roll(p, -s)
+        else:
+            derangement = np.zeros(1, np.int64)  # degenerate: self-pair
+        perm = jnp.asarray(derangement)
 
         def mis_at(i, c):
             return jnp.stack([w[i : i + c, :, 0], w[perm[i : i + c], :, 1]], axis=2)
@@ -360,6 +515,7 @@ def _device_pair_eval(
         del mis_mix
     if stems_mode:
         out[ItemCategory.stem] = embed_set(w[:, :, 1], store_stem)
+    emit_mix_diagnostics(mix_diag)
     return out
 
 
@@ -446,16 +602,32 @@ def _merge_moments(acc, new):
 _merge_moments_jit = partial(jax.jit, donate_argnums=(0,))(_merge_moments)
 
 
-def _device_mix(mix_function, audio, sr):
+def _progress_iter(items, source, desc):
+    """tqdm over a host stream; total from len() when the source has one
+    (stage-level visibility, reference cpu_parallel.py:45-47)."""
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        return items
+    try:
+        total = len(source)
+    except TypeError:
+        total = None
+    return tqdm(items, desc=desc, total=total, leave=False, unit="song")
+
+
+def _device_mix(mix_function, audio, sr, diag=None):
     """Apply a mix function to a (B, n, 2) batch.
 
     Registry mix functions are batched jax programs (``is_batched_mix``);
     arbitrary user callables follow the reference protocol
     ``f(audio[n, 2], sr) -> mono[n]`` (mix_functions.py:335-344) and are
-    applied per item on host.
+    applied per item on host.  ``diag`` collects device diagnostic flags
+    (silent channels, limited peaks) without syncing; the caller emits the
+    warnings once at the end of the run (ops/mix.emit_mix_diagnostics).
     """
     if getattr(mix_function, "is_batched_mix", False):
-        return mix_function(audio, sr=sr)  # stays on device
+        return mix_function(audio, sr=sr, diag=diag)  # stays on device
     audio = ensure_ndarray(audio)
     out = [ensure_ndarray(mix_function(a, sr=sr)) for a in audio]
     return np.stack(out).astype(np.float32, copy=False)
@@ -464,7 +636,8 @@ def _device_mix(mix_function, audio, sr):
 def _device_resample(audio, sr_orig, sr_new):
     from ..ops.resample import resample_batch
 
-    return resample_batch(audio, sr_orig, sr_new)
+    quality = os.environ.get("AM_TPU_RESAMPLE_QUALITY", "hq")
+    return resample_batch(audio, sr_orig, sr_new, quality)
 
 
 @jax.jit
@@ -543,7 +716,6 @@ def embedding_pipeline(
         and not need_resample
         and embedder.embed_fn is not None
         and getattr(mix_function, "is_batched_mix", False)
-        and (mesh is None or getattr(mesh, "size", 1) <= 1)
     )
     if device_resident_pairs:
         win_len = window_length(in_sr, win_dur)
@@ -561,6 +733,7 @@ def embedding_pipeline(
                 seed,
                 store_mix_embeddings,
                 store_stem_embeddings,
+                mesh=mesh,
             )
 
     device_resident = (
@@ -570,26 +743,16 @@ def embedding_pipeline(
         and stems_mode
         and not need_resample
     )
-    if (
-        device_resident
-        and embedder.embed_fn is not None
-        and (mesh is None or getattr(mesh, "size", 1) <= 1)
-    ):
+    if device_resident and embedder.embed_fn is not None:
         win_len = window_length(in_sr, win_dur)
         hop_len = win_len if hop_dur is None else window_length(in_sr, hop_dur)
         w = _device_windows(waveforms, win_len, hop_len)
         if w is not None:
             n = w.shape[0]
-            pad = (-n) % batch_size
-            if pad:
-                w = jnp.pad(w, ((0, pad), (0, 0)))
-            loop = _get_fused_embed_loop(embedder, batch_size)
-            buf, nn, s1, m2 = loop(
-                getattr(embedder, "params", {}), w, jnp.asarray(n, jnp.int32)
-            )
+            buf, triples = _run_fused_embed(embedder, w, n, batch_size, mesh)
             amd = AudioMetricsData(store_stem_embeddings)
-            nn_h, s1_h, m2_h = jax.device_get((nn, s1, m2))
-            amd.add_moments(nn_h, s1_h, m2_h)
+            for nn_h, s1_h, m2_h in triples:
+                amd.add_moments(nn_h, s1_h, m2_h)
             if store_stem_embeddings:
                 amd._embedding_chunks.append(buf[:n])
                 amd._embeddings_cat = None
@@ -605,6 +768,8 @@ def embedding_pipeline(
             win_len if hop_dur is None else window_length(in_sr, hop_dur),
         )
     elif use_native:
+        if progress:
+            waveforms = _progress_iter(iter(waveforms), waveforms, "songs")
         batches = _native_batches(
             waveforms,
             batch_size=batch_size,
@@ -618,6 +783,8 @@ def embedding_pipeline(
         )
     else:
         items = iter(waveforms)
+        if progress:
+            items = _progress_iter(items, waveforms, "songs")
 
         if apa_mode == "reference":
             # song-level shuffle so misaligned pairs cross song boundaries
@@ -679,6 +846,7 @@ def embedding_pipeline(
         except ImportError:
             pass
 
+    mix_diag = []
     for kind, audio, category, valid in batches:
         if transfer_int16 and isinstance(audio, np.ndarray):
             q, scale = _quantize_host(audio)
@@ -690,7 +858,12 @@ def embedding_pipeline(
         if need_resample:
             audio = _device_resample(audio, input_sr, embedder.sr)
         if kind == "pair":
-            mono = _device_mix(mix_function, audio, sr=embedder.sr)
+            n_before = len(mix_diag)
+            mono = _device_mix(mix_function, audio, sr=embedder.sr, diag=mix_diag)
+            if len(mix_diag) > n_before:
+                # mask padding rows out of the diagnostics (all-zero pad
+                # windows would read as "both channels silent")
+                mix_diag[-1] = {**mix_diag[-1], "valid": np.asarray(valid)}
             if os.environ.get("AM_TPU_DEBUG_NAN"):
                 # failure-detection parity with the reference's NaN debug
                 # print in mixing (mix_functions.py:328-331); opt-in since it
@@ -734,6 +907,7 @@ def embedding_pipeline(
                         # interleaved categories (APA pair batches)
                         stored[c].append(ensure_ndarray(embedding)[mask])
 
+    emit_mix_diagnostics(mix_diag)
     if acc is not None:
         acc_host = jax.device_get(acc)
         for c, (n, s1, m2) in acc_host.items():

@@ -276,3 +276,71 @@ def test_mix_loudness_silent_cases():
     # mix falls back to the non-silent channel, then is normalized to -20 LUFS
     lufs = float(np.asarray(integrated_loudness_batch(out[None].astype(np.float64), sr))[0])
     assert abs(lufs - (-20.0)) < 0.01
+
+
+# ----------------------------------------------------------------------
+# failure-detection parity: silent-channel / gain-reduction warnings
+# (reference mix_functions.py:270,293-299)
+# ----------------------------------------------------------------------
+def test_mix_warns_on_both_channels_silent():
+    import warnings as w
+    from audio_metrics_tpu.ops.mix import mix_tracks_loudness
+
+    audio = np.zeros((2, 16000, 2), np.float32)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        mix_tracks_loudness(audio, sr=16000)
+    assert any("Both channels silent" in str(r.message) for r in rec), [
+        str(r.message) for r in rec
+    ]
+
+
+def test_mix_warns_on_one_channel_silent():
+    import warnings as w
+    from audio_metrics_tpu.ops.mix import mix_tracks_loudness
+
+    rng = np.random.default_rng(0)
+    audio = np.zeros((1, 16000, 2), np.float32)
+    audio[:, :, 0] = 0.3 * rng.normal(size=(1, 16000))
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        mix_tracks_loudness(audio, sr=16000)
+    assert any("One channel silent" in str(r.message) for r in rec)
+
+
+def test_mix_warns_on_gain_reduction():
+    import warnings as w
+    from audio_metrics_tpu.ops.mix import mix_tracks_loudness
+
+    rng = np.random.default_rng(1)
+    # sparse impulse train: normalizing up to -20 LUFS pushes peaks past 1.0
+    spike = 1e-5 * rng.normal(size=(1, 16000))
+    spike[0, ::800] = 2e-2
+    audio = np.stack([spike, spike], axis=2).astype(np.float32)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        mix_tracks_loudness(audio, sr=16000)
+    assert any("Reducing gain" in str(r.message) for r in rec), [
+        str(r.message) for r in rec
+    ]
+
+
+def test_mix_diag_deferred_no_warning_leak():
+    """With a diag collector, warnings fire only at emit time (and padding
+    rows are excluded via the 'valid' mask)."""
+    import warnings as w
+    from audio_metrics_tpu.ops.mix import mix_tracks_loudness, emit_mix_diagnostics
+
+    rng = np.random.default_rng(2)
+    audio = np.zeros((4, 16000, 2), np.float32)
+    audio[:2] = 0.3 * rng.normal(size=(2, 16000, 2))  # rows 2,3 are padding
+    diag = []
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        mix_tracks_loudness(audio, sr=16000, diag=diag)
+    assert not any("silent" in str(r.message) for r in rec)
+    diag[-1]["valid"] = np.array([True, True, False, False])
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        emit_mix_diagnostics(diag)
+    assert not any("silent" in str(r.message) for r in rec)  # pad masked out
