@@ -347,12 +347,13 @@ def _swin_block(
     num_heads_prefix = f"{prefix}.attention"
     n_windows = (h // window) * (w // window)
 
-    # the fused MLP wins where the token count is large (stages 0/1: XLA
-    # 2.4/1.3 -> 1.0/0.65 ms per block); at small token counts XLA's own
-    # fusion of the repeated blocks is already competitive and the extra
-    # kernel boundary costs more than it saves (measured stage-3 regression)
+    # the fused MLP wins where the ROW count (batch x tokens) is large
+    # (stages 0/1: XLA 2.4/1.3 -> 1.0/0.65 ms per block; stage 2 at B=64:
+    # 0.61 -> 0.32, the r2 A/B); at small row counts XLA's own fusion of the
+    # repeated blocks is already competitive and the extra kernel boundary
+    # costs more than it saves (measured stage-3 regression at 4096 rows)
     use_pallas_mlp = (
-        x.shape[1] >= 1024
+        (x.shape[1] >= 1024 or x.shape[0] * x.shape[1] >= 16384)
         and not os.environ.get("AM_TPU_NO_PALLAS")
         and jax.default_backend() == "tpu"
     )

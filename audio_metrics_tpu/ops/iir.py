@@ -146,11 +146,17 @@ def _blocked_tables(b: tuple, a: tuple, block: int):
 
 
 def lfilter_blocked(b, a, x, block: int = 256):
-    """Exact ``scipy.signal.lfilter(b, a, x, axis=-1)`` (zero initial state)
-    for a small-order filter, batched over rows, with ALL the sequential
-    work expressed as matmuls (see _blocked_tables).  x: (B, n) -> (B, n)
-    float32.  ~20x faster than FFT convolution for the K-weighting cascade
-    on v5e, and more accurate than a float32 scan (no compounding)."""
+    """``scipy.signal.lfilter(b, a, x, axis=-1)`` (zero initial state) for a
+    small-order filter, batched over rows, with ALL the sequential work
+    expressed as matmuls (see _blocked_tables).  x: (B, n) -> (B, n) float32.
+
+    Accuracy: the *construction* is exact in exact arithmetic, but this runs
+    in f32 with the boundary convolution truncated at |P^k| < 1e-9, giving
+    ~1e-4 relative signal error in practice (non-compounding — see
+    loudness.py's measurements).  It is NOT a verification oracle; the f64
+    biquad ``method='scan'`` path is the oracle.  ~20x faster than FFT
+    convolution for the K-weighting cascade on v5e, and more accurate than
+    a float32 scan (no error compounding across time)."""
     x = jnp.asarray(x, jnp.float32)
     bsz, n = x.shape
     M, A, Pk, bn = _blocked_tables(tuple(np.ravel(b)), tuple(np.ravel(a)), block)

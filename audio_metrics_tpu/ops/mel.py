@@ -20,6 +20,7 @@ tests/test_mel.py.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -33,6 +34,10 @@ __all__ = [
     "log_mel_pallas_halo",
     "stft_power",
 ]
+
+# Kernel-selection flags participate in traced programs but are not part of
+# the jit cache key — read them ONCE at import; toggling later is a no-op.
+_MEL_V1 = bool(os.environ.get("AM_TPU_MEL_V1"))
 
 
 # ----------------------------------------------------------------------
@@ -531,8 +536,6 @@ def log_mel_spectrogram(
     (--xla_allow_excess_precision) and runs the DFT at f32 matmul rate with
     HBM round-trips between stages.
     """
-    import os
-
     fb_np = mel_filter_bank(
         num_frequency_bins=(n_fft or frame_length) // 2 + 1,
         num_mel_filters=n_mels,
@@ -551,7 +554,7 @@ def log_mel_spectrogram(
         and jax.default_backend() == "tpu"
         and not os.environ.get("AM_TPU_NO_PALLAS")
     ):
-        fn = log_mel_pallas if os.environ.get("AM_TPU_MEL_V1") else log_mel_pallas_halo
+        fn = log_mel_pallas if _MEL_V1 else log_mel_pallas_halo
         return fn(
             audio,
             frame_length=frame_length,

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Nightly real-TPU verification: Mosaic kernels compiled on the chip (the CI
+# suite runs them interpret-mode on CPU only — a Mosaic lowering regression
+# would land green there, ROADMAP "Robustness") plus a bench smoke.
+#
+# Usage: scripts/nightly_tpu.sh [logdir]
+# Writes logs to <logdir>/nightly_tpu_<date>.log (default: logs/).
+# PYTHONPATH must keep the axon site dir (CLAUDE.md): the script sets it.
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${1:-logs}
+mkdir -p "$LOGDIR"
+LOG="$LOGDIR/nightly_tpu_$(date +%Y%m%d_%H%M).log"
+export PYTHONPATH="$PWD:/root/.axon_site"
+
+{
+  echo "=== nightly real-TPU run $(date -Is) ==="
+  echo "--- pallas kernel suites (compiled on chip) ---"
+  AM_TPU_TEST_REAL=1 timeout 3600 python -m pytest \
+    tests/test_pallas_distance.py tests/test_pallas_model_kernels.py -q
+  rc1=$?
+  echo "pallas suites rc=$rc1"
+  echo "--- bench smoke (small set, warm cache) ---"
+  BENCH_CLIPS=256 BENCH_CLIPS_HOST=64 timeout 3600 python bench.py
+  rc2=$?
+  echo "bench rc=$rc2"
+  echo "=== done $(date -Is) rc=$((rc1 || rc2)) ==="
+  exit $((rc1 || rc2))
+} 2>&1 | tee "$LOG"
+exit "${PIPESTATUS[0]}"
