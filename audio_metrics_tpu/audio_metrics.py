@@ -13,6 +13,7 @@ and state persistence.  Differences from the reference are TPU-idiomatic:
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 
 from .data import AudioMetricsData
@@ -27,6 +28,8 @@ from .parallel.mesh import make_mesh
 from .utils.serialize import save_state_dict, load_state_dict
 
 __all__ = ["AudioMetrics"]
+
+logger = logging.getLogger(__name__)
 
 
 class AudioMetrics:
@@ -58,7 +61,9 @@ class AudioMetrics:
         """``hop_dur`` (seconds) enables overlapping windows (hop < win);
         default None means non-overlapping, the reference behaviour (its
         ``audio_slicer`` supports a hop too but never exposes it,
-        reference util/audio.py:4-9)."""
+        reference util/audio.py:4-9).  Note: ``hop_dur`` routes streaming
+        input through the Python feeder — the native (C++) batcher cuts
+        non-overlapping windows only."""
         self.mesh = self._get_mesh(device_indices)
         self.metrics = metrics
         self.need_apa = "apa" in self.metrics
@@ -123,7 +128,15 @@ class AudioMetrics:
         if device_indices or device_indices is None:
             try:
                 return make_mesh(device_indices)
-            except RuntimeError:
+            except RuntimeError as exc:
+                if device_indices is not None:
+                    # the user ASKED for specific devices; a silent
+                    # single-device fallback would hide a misconfigured
+                    # multi-chip run
+                    raise
+                logger.warning(
+                    "no usable device mesh (%s); running single-device", exc
+                )
                 return None
         return None
 

@@ -236,11 +236,18 @@ def _device_mmd2_subsets(
     chunk = max(1, min(idx_1.shape[0], (128 << 20) // max(mem_per_subset, 1)))
 
     n_subsets = idx_1.shape[0]
-    if mesh is not None and mesh.size > 1 and n_subsets % mesh.size == 0:
+    if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
         axis = mesh.axis_names[0]
+        # pad the subset axis to a mesh multiple with duplicate rows (the
+        # subsets are independent; the extra results are dropped) — the
+        # reference default (100 subsets) is not divisible by 8 chips
+        pad = (-n_subsets) % mesh.size
+        if pad:
+            i1 = jnp.concatenate([i1, i1[:pad]], axis=0)
+            i2 = jnp.concatenate([i2, i2[:pad]], axis=0)
 
         def local(f1_loc, f2_loc, i1_loc, i2_loc):
             one = lambda pair: _kd_one_subset(f1_loc, f2_loc, pair, kparams)
@@ -254,7 +261,9 @@ def _device_mmd2_subsets(
                 out_specs=(P(axis),) * 3,
             )
         )
-        return _host_mmd2(jax.device_get(run(f1, f2, i1, i2)), m)
+        rows = jax.device_get(run(f1, f2, i1, i2))
+        rows = tuple(r[:n_subsets] for r in rows)
+        return _host_mmd2(rows, m)
 
     run = _get_kd_rows()
     return _host_mmd2(jax.device_get(run(f1, f2, i1, i2, kparams, chunk)), m)
