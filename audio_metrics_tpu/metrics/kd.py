@@ -17,6 +17,7 @@ Public surface mirrors the reference: ``kernel_distance``, ``mmd2``,
 from __future__ import annotations
 
 import logging
+from functools import lru_cache
 
 import numpy as np
 
@@ -269,6 +270,25 @@ def _device_mmd2_subsets(
     return _host_mmd2(jax.device_get(run(f1, f2, i1, i2, kparams, chunk)), m)
 
 
+@lru_cache(maxsize=8)
+def _subset_indices(n1: int, n2: int, subsets: int, size: int, seed: int):
+    """Deterministic subset indices, cached across evaluate() calls (the
+    sampler is pure in its arguments; repeated evals at the same set sizes
+    skip ~100k host rng draws and the index re-upload).
+
+    Same rng call order as the reference loop (kd.py:178-186) —
+    bit-identical indices (CLAUDE.md design invariant)."""
+    rng = np.random.default_rng(seed)
+    idx_1 = np.empty((subsets, size), dtype=np.int64)
+    idx_2 = np.empty((subsets, size), dtype=np.int64)
+    for i in range(subsets):
+        idx_1[i] = rng.choice(n1, size, replace=False)
+        idx_2[i] = rng.choice(n2, size, replace=False)
+    idx_1.setflags(write=False)
+    idx_2.setflags(write=False)
+    return idx_1, idx_2
+
+
 def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
     """KID estimate over random subsets (kd.py:127-194).
 
@@ -306,13 +326,10 @@ def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
             )
         kid_subset_size = new_ss
 
-    rng = np.random.default_rng(kwargs.get("rng_seed", 1234))
-    # Same rng call order as the reference loop (kd.py:178-186)
-    idx_1 = np.empty((kid_subsets, kid_subset_size), dtype=np.int64)
-    idx_2 = np.empty((kid_subsets, kid_subset_size), dtype=np.int64)
-    for i in range(kid_subsets):
-        idx_1[i] = rng.choice(n_samples_1, kid_subset_size, replace=False)
-        idx_2[i] = rng.choice(n_samples_2, kid_subset_size, replace=False)
+    idx_1, idx_2 = _subset_indices(
+        n_samples_1, n_samples_2, kid_subsets, kid_subset_size,
+        kwargs.get("rng_seed", 1234),
+    )
 
     degree = kwargs.get("kid_degree", KID_DEGREE)
     gamma = kwargs.get("kid_gamma", KID_GAMMA)
