@@ -33,14 +33,27 @@ __all__ = ["HTSATConfig", "htsat_encode", "init_params", "HTSAT_BASE", "HTSAT_TI
 
 
 def _use_pallas_attention(n_windows: int) -> bool:
-    """Fused Pallas attention pays off where XLA's window attention drowns in
-    score-tensor HBM traffic — the high-window-count early stages (measured
-    v5e, B=64: stage 0 6.3 -> 2.0 ms/block, stage 1 2.5 -> 1.3; stages 2/3
-    favour XLA because Mosaic unrolls the few-window batched matmuls).
+    """v1 fused Pallas attention (per-head thin matmuls) pays off only at
+    the high-window-count early stages; superseded by v3 as the default —
+    selectable with AM_TPU_ATTN_V1=1 for comparison.  Measured v5e B=64:
+    stage 0 6.3 -> 2.0 ms/block v1, stage 1 2.5 -> 1.3.
     Disabled off-TPU and by AM_TPU_NO_PALLAS=1."""
-    if os.environ.get("AM_TPU_NO_PALLAS"):
+    if os.environ.get("AM_TPU_NO_PALLAS") or not os.environ.get("AM_TPU_ATTN_V1"):
         return False
     return n_windows >= 16 and jax.default_backend() == "tpu"
+
+
+def _use_pallas_attention_v3() -> bool:
+    """v3 fused attention (all heads in one matmul, ops/attention.py) wins
+    at EVERY stage (measured v5e B=64 ms/block, unshift/shift):
+    stage 0: v1 2.26/2.22 -> 1.09/0.85; stage 1: 1.24/1.49 -> 0.39/0.70;
+    stage 2 (vs XLA full block incl MLP 1.39/1.45): attn-half 0.43/0.41;
+    stage 3: 0.50 vs 1.13 XLA full block."""
+    return (
+        not os.environ.get("AM_TPU_NO_PALLAS")
+        and not os.environ.get("AM_TPU_ATTN_V1")
+        and jax.default_backend() == "tpu"
+    )
 
 
 @dataclass(frozen=True)
@@ -334,6 +347,71 @@ def _attention_half_pallas(
     return out.reshape(b, h * w, c)
 
 
+def _attention_half_pallas_v3(
+    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int,
+    num_heads: int, window: int,
+):
+    """x + WindowAttention(LN(x)) via the all-heads-one-matmul v3 kernel
+    (ops/attention.py: _attn_block_kernel_v3) — the default TPU attention
+    path at every stage (see _use_pallas_attention_v3 for measurements)."""
+    from ..ops.attention import swin_attention_block_pallas_v3
+
+    b, _, c = x.shape
+    h = w = resolution
+    n = window * window
+    d = c // num_heads
+    scale = 1.0 / np.sqrt(d)
+    pre = f"{prefix}.attention"
+    dt = x.dtype
+
+    wqkv = jnp.concatenate(
+        [
+            params[f"{pre}.self.query.weight"].T * jnp.float32(scale),
+            params[f"{pre}.self.key.weight"].T,
+            params[f"{pre}.self.value.weight"].T,
+        ],
+        axis=1,
+    ).astype(dt)
+    bq3 = jnp.concatenate(
+        [
+            params[f"{pre}.self.query.bias"] * jnp.float32(scale),
+            jnp.zeros(2 * c, jnp.float32),
+        ]
+    ).astype(jnp.float32)
+    wp = params[f"{pre}.output.dense.weight"].T.astype(dt)
+    wp_h = params[f"{pre}.output.dense.weight"].T.reshape(num_heads, d, c)
+    bv = params[f"{pre}.self.value.bias"].reshape(num_heads, d)
+    bp = (
+        params[f"{pre}.output.dense.bias"]
+        + jnp.einsum("hd,hdc->c", bv, wp_h.astype(jnp.float32))
+    ).astype(jnp.float32)
+
+    table = params[f"{pre}.self.relative_position_bias_table"].astype(jnp.float32)
+    idx = _relative_position_index(window).reshape(-1)
+    bias = table[idx].reshape(n, n, num_heads).transpose(2, 0, 1)
+    if shift > 0:
+        mask = jnp.asarray(_shift_attn_mask(h, w, window, shift))
+        bm = bias[None] + mask[:, None]
+    else:
+        bm = bias[None]
+
+    out = swin_attention_block_pallas_v3(
+        x.reshape(b, h, w, c),
+        params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
+        wqkv,
+        bq3,
+        wp,
+        bp,
+        bm,
+        num_heads,
+        window,
+        shift,
+        eps=cfg.layer_norm_eps,
+    )
+    return out.reshape(b, h * w, c)
+
+
 def _swin_block(
     x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int, num_heads: int
 ):
@@ -369,7 +447,11 @@ def _swin_block(
         and not os.environ.get("AM_TPU_NO_PALLAS")
         and jax.default_backend() == "tpu"
     )
-    if _use_pallas_attention(n_windows) or merge_windows:
+    if _use_pallas_attention_v3() and not merge_windows:
+        x = _attention_half_pallas_v3(
+            x, params, prefix, cfg, resolution, shift, num_heads, window
+        )
+    elif _use_pallas_attention(n_windows) or merge_windows:
         x = _attention_half_pallas(
             x,
             params,

@@ -41,7 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["swin_attention_block_pallas", "swin_attention_block_pallas_v2"]
+__all__ = [
+    "swin_attention_block_pallas",
+    "swin_attention_block_pallas_v2",
+    "swin_attention_block_pallas_v3",
+]
 
 
 def _x32_scope():
@@ -441,6 +445,235 @@ def swin_attention_block_pallas_v2(
             wp,
             bp,
             jnp.asarray(bias_mask, jnp.float32),
+            heads,
+            window,
+            int(shift),
+            float(eps),
+            interpret,
+        )
+
+
+def _attn_block_kernel_v3(
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float,
+    x_ref,
+    ln_w_ref,
+    ln_b_ref,
+    wqkv_ref,
+    bq_ref,
+    wp_ref,
+    bp_ref,
+    bmw_ref,
+    out_ref,
+):
+    """All-heads-in-one-matmul variant for FEW-window stages.
+
+    v1/v2 lose at the late stages because Mosaic executes their per-head
+    contractions as unrolled thin matmuls (d = 32 of 128 MXU lanes).  v3
+    eliminates the head loop entirely:
+
+    - K and V are tiled ``heads`` times along the sublane axis and masked
+      to a block-diagonal layout (``kw[i, ch] != 0`` iff ``ch`` belongs to
+      head ``i // n``), so ONE transpose-free NT contraction per window
+      computes every head's scores — (n, C) @ (heads*n, C)^T with full-lane
+      C contraction — and one more computes every head's context, with each
+      head landing in its own lane range (no lane slicing anywhere).
+    - Softmax is exact per head-segment: subtracting the whole-row max (a
+      per-row CONSTANT) preserves each segment's softmax exactly, and the
+      per-segment sums come from a 0/1 selector matmul, spread back by its
+      transpose.
+
+    bmw_ref is the (nW or 1, n, heads*n) "wide" additive bias+mask layout.
+    """
+    kb, height, width, c = x_ref.shape
+    n = window * window
+    hb, wb = height // window, width // window
+    g = kb * hb * wb
+    rows = kb * height * width
+    d = c // heads
+    hn = heads * n
+    dt = x_ref.dtype
+
+    xin = x_ref[:].reshape(rows, c)
+    xf = xin.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    xn_f32 = (
+        (xf - mu)
+        * jax.lax.rsqrt(var + jnp.float32(eps))
+        * ln_w_ref[:].astype(jnp.float32)
+        + ln_b_ref[:].astype(jnp.float32)
+    )
+
+    x4 = xn_f32.reshape(kb, height, width, c)
+    if shift:
+        x4 = pltpu.roll(x4, height - shift, 1)
+        x4 = pltpu.roll(x4, width - shift, 2)
+    x4 = x4.astype(dt)
+    xw = (
+        x4.reshape(kb, hb, window, wb, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(g * n, c)
+    )
+
+    y = (
+        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(dt)
+    q = y[:, :c].reshape(g, n, c)
+    k = y[:, c : 2 * c].reshape(g, n, c)
+    v = y[:, 2 * c :].reshape(g, n, c)
+
+    # block-diagonal head mask (hn, c): row block i//n keeps head (i//n)'s
+    # lane range
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 0) // n
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 1) // d
+    mask = (row_head == col_head).astype(dt)
+
+    kw = jnp.concatenate([k] * heads, axis=1) * mask[None]
+    vw = jnp.concatenate([v] * heads, axis=1) * mask[None]
+
+    s = jax.lax.dot_general(
+        q,
+        kw,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (g, n, hn)
+    if bmw_ref.shape[0] == 1:
+        s = s + bmw_ref[0][None]
+    else:
+        s = s + jnp.broadcast_to(
+            bmw_ref[:][None], (kb, bmw_ref.shape[0], n, hn)
+        ).reshape(g, n, hn)
+
+    m = jnp.max(s, axis=-1, keepdims=True)  # row constant: segment-exact
+    e = jnp.exp(s - m)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 0) // n
+        == jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 1)
+    ).astype(jnp.float32)
+    den = jax.lax.dot_general(
+        e, sel, dimension_numbers=(((2,), (0,)), ((), ()))
+    )  # (g, n, heads)
+    den_wide = jax.lax.dot_general(
+        den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
+    )  # (g, n, hn)
+    p = (e / den_wide).astype(dt)
+
+    ctx = jax.lax.dot_general(
+        p,
+        vw,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (g, n, c): head h's context already in its own lane range
+    ow = (
+        jnp.dot(
+            ctx.reshape(g * n, c).astype(dt),
+            wp_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bp_ref[:].astype(jnp.float32)
+    )
+    o4 = (
+        ow.reshape(kb, hb, wb, window, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(kb, height, width, c)
+    )
+    if shift:
+        o4 = pltpu.roll(o4, shift, 1)
+        o4 = pltpu.roll(o4, shift, 2)
+    out_ref[:] = (
+        o4.reshape(rows, c) + xin.astype(jnp.float32)
+    ).astype(dt).reshape(kb, height, width, c)
+
+
+def _kb_for_v3(batch: int, height: int, width: int, c: int, heads: int, window: int) -> int:
+    """Largest power-of-2 image count whose v3 VMEM footprint stays ~<=48MB
+    (kw/vw tiles dominate: 2 * heads*n * C * 2B per window)."""
+    n = window * window
+    hn = heads * n
+    nw = (height // window) * (width // window)
+    per_image = nw * (2 * hn * c * 2 + n * hn * 10) + height * width * c * 4
+    kb = 1
+    while kb * 2 <= batch and batch % (kb * 2) == 0 and (kb * 2) * per_image <= 48 * 1024 * 1024:
+        kb *= 2
+    return kb
+
+
+@partial(
+    jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
+)
+def _attn_block_call_v3(
+    x, ln_w, ln_b, wqkv, bq, wp, bp, bmw, heads, window, shift, eps, interpret
+):
+    b, height, width, c = x.shape
+    kb = _kb_for_v3(b, height, width, c, heads, window)
+    n = window * window
+    wspec = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_attn_block_kernel_v3, heads, window, shift, eps),
+        grid=(b // kb,),
+        in_specs=[
+            pl.BlockSpec(
+                (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            wspec(ln_w.shape),
+            wspec(ln_b.shape),
+            wspec(wqkv.shape),
+            wspec(bq.shape),
+            wspec(wp.shape),
+            wspec(bp.shape),
+            wspec((bmw.shape[0], n, heads * n)),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, height, width, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln_w, ln_b, wqkv, bq, wp, bp, bmw)
+
+
+def swin_attention_block_pallas_v3(
+    x,
+    ln_w,
+    ln_b,
+    wqkv,
+    bq3,
+    wp,
+    bp,
+    bias_mask,
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """All-heads-in-one-matmul fused attention half (_attn_block_kernel_v3).
+
+    Same weight layout as v2 (wqkv (C, 3C) with scaled q, bq3 (3C,) with
+    only the scaled q bias, wp (C, C), bp absorbing the value bias);
+    bias_mask: (nW or 1, heads, n, n) — converted here to the kernel's wide
+    (nW, n, heads*n) layout.
+    """
+    nw, h_, n, _ = bias_mask.shape
+    bmw = jnp.asarray(bias_mask, jnp.float32).transpose(0, 2, 1, 3).reshape(
+        nw, n, h_ * n
+    )
+    with _x32_scope():
+        return _attn_block_call_v3(
+            x,
+            ln_w,
+            ln_b,
+            wqkv,
+            jnp.asarray(bq3, jnp.float32),
+            wp,
+            bp,
+            bmw,
             heads,
             window,
             int(shift),

@@ -340,3 +340,61 @@ def test_attention_v2_matches_v1():
         shift=shift, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=5e-5)
+
+
+@pytest.mark.parametrize("stage,shift", [(0, 4), (2, 0), (2, 4), (3, 0)])
+def test_attention_v3_matches_v1(stage, shift):
+    """The all-heads-one-matmul v3 kernel must match v1 (interpret mode).
+
+    v3's segmented softmax subtracts the whole-ROW max instead of per-head
+    maxima — exact (a per-row constant cancels in each segment's softmax)
+    but a different computation path, so parity is asserted per stage
+    including shifted (masked) blocks."""
+    from audio_metrics_tpu.ops.attention import swin_attention_block_pallas_v3
+
+    rng = np.random.default_rng(7 * stage + shift)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = min(cfg.window_size, res)
+    if res <= window:
+        shift = 0
+    pre = f"audio_encoder.layers.{stage}.blocks.0"
+    jparams = jax.tree.map(jnp.asarray, params)
+    wq, bq, wk, wv, wp_h, bp, bm = _prep_attention_weights(
+        jparams, pre, heads, c, window, shift, res
+    )
+    get = lambda k: np.asarray(params[k], np.float32)
+    d = c // heads
+    scale = 1.0 / np.sqrt(d)
+    wqkv = np.concatenate(
+        [
+            get(f"{pre}.attention.self.query.weight").T * scale,
+            get(f"{pre}.attention.self.key.weight").T,
+            get(f"{pre}.attention.self.value.weight").T,
+        ],
+        axis=1,
+    )
+    bq3 = np.concatenate(
+        [get(f"{pre}.attention.self.query.bias") * scale, np.zeros(2 * c, np.float32)]
+    )
+    wp = get(f"{pre}.attention.output.dense.weight").T
+
+    x = jnp.asarray(rng.normal(size=(2, res, res, c)).astype(np.float32))
+    ln_w = jparams[f"{pre}.layernorm_before.weight"].astype(jnp.float32)
+    ln_b = jparams[f"{pre}.layernorm_before.bias"].astype(jnp.float32)
+    o1 = swin_attention_block_pallas(
+        x, ln_w, ln_b, wq, bq, wk, wv, wp_h, bp, bm, heads, window, shift,
+        interpret=True,
+    )
+    o3 = swin_attention_block_pallas_v3(
+        x, ln_w, ln_b, jnp.asarray(wqkv, jnp.float32), jnp.asarray(bq3),
+        jnp.asarray(wp, jnp.float32), bp, bm, heads=heads, window=window,
+        shift=shift, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o1), atol=5e-5)
