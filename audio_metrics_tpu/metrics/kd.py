@@ -47,7 +47,10 @@ KID_SIGMA = 10.0
 logger = logging.getLogger(__name__)
 
 
-def kernel_distance(x: AudioMetricsData, y: AudioMetricsData, **kwargs) -> dict:
+def kernel_distance(x: AudioMetricsData, y: AudioMetricsData, **kwargs):
+    """KD result dict; with ``lazy=True`` a zero-arg finalize callable
+    instead (device work is dispatched either way — see
+    _device_mmd2_subsets)."""
     # device-resident embeddings: one (cached) upload shared with PRDC
     return kid_features_to_metric(
         x.embeddings_device, y.embeddings_device, **kwargs
@@ -198,11 +201,16 @@ def _device_mmd2_subsets(
     coef0: float,
     sigma: float,
     mesh=None,
-) -> np.ndarray:
+    lazy: bool = False,
+):
     """All subset MMD^2 row sums in one jitted program (compiled once per
     shape/kernel config), f64 finals on host.  With a mesh, the subset axis
     shards over the chips via shard_map (features replicated; each chip runs
     its share of the subset loop).
+
+    ``lazy=True`` dispatches the device program and returns a zero-arg
+    finalize callable (the sync happens there) so callers can overlap other
+    host work — e.g. FAD's f64 eigh — with the device computation.
     """
     import jax
     import jax.numpy as jnp
@@ -262,12 +270,21 @@ def _device_mmd2_subsets(
                 out_specs=(P(axis),) * 3,
             )
         )
-        rows = jax.device_get(run(f1, f2, i1, i2))
-        rows = tuple(r[:n_subsets] for r in rows)
-        return _host_mmd2(rows, m)
+        arrs = run(f1, f2, i1, i2)
+
+        def finalize():
+            rows = tuple(r[:n_subsets] for r in jax.device_get(arrs))
+            return _host_mmd2(rows, m)
+
+        return finalize if lazy else finalize()
 
     run = _get_kd_rows()
-    return _host_mmd2(jax.device_get(run(f1, f2, i1, i2, kparams, chunk)), m)
+    arrs = run(f1, f2, i1, i2, kparams, chunk)
+
+    def finalize():
+        return _host_mmd2(jax.device_get(arrs), m)
+
+    return finalize if lazy else finalize()
 
 
 @lru_cache(maxsize=8)
@@ -338,7 +355,7 @@ def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
     coef0 = kwargs.get("kid_coef0", KID_COEF0)
     sigma = kwargs.get("kid_sigma", KID_SIGMA)
 
-    mmds = _device_mmd2_subsets(
+    fin = _device_mmd2_subsets(
         features_1,
         features_2,
         idx_1,
@@ -349,9 +366,14 @@ def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
         coef0=float(coef0),
         sigma=float(sigma),
         mesh=kwargs.get("mesh"),
+        lazy=True,
     )
 
-    return {
-        KEY_METRIC_KID_MEAN: float(np.mean(mmds)),
-        KEY_METRIC_KID_STD: float(np.std(mmds)),
-    }
+    def finalize():
+        mmds = fin()
+        return {
+            KEY_METRIC_KID_MEAN: float(np.mean(mmds)),
+            KEY_METRIC_KID_STD: float(np.std(mmds)),
+        }
+
+    return finalize if kwargs.get("lazy") else finalize()

@@ -246,13 +246,17 @@ def pairwise_distance_stats(
     )
 
 
-def prdc(reference, candidate, nearest_k: int, mesh=None) -> dict:
+def prdc(reference, candidate, nearest_k: int, mesh=None, lazy: bool = False):
     """Precision, recall, density, coverage of candidate vs reference manifolds.
 
     ``reference`` / ``candidate`` are :class:`AudioMetricsData` instances with
     stored embeddings (mirrors reference prdc.py:18-50).  ``mesh`` shards the
     k-NN radius computation over chips (the radii are the dominant N^2 cost;
     they are also cached per k on the AudioMetricsData).
+
+    ``lazy=True``: dispatch the device programs and return a zero-arg
+    finalize callable — the host sync (the final float conversions) happens
+    there, so callers can overlap host-side work with the device sweep.
     """
     if mesh is not None and getattr(mesh, "size", 1) > 1:
         # compute (and cache) radii with the sharded path
@@ -306,8 +310,17 @@ def prdc(reference, candidate, nearest_k: int, mesh=None) -> dict:
             nearest_k,
         )
 
-    precision = float(np.mean(cand_any.astype(np.float64)))
-    recall = float(np.mean(ref_any.astype(np.float64)))
-    density = float(np.mean(cand_count.astype(np.float64))) / float(nearest_k)
-    coverage = float(np.mean((ref_min < ref_radii).astype(np.float64)))
-    return dict(precision=precision, recall=recall, density=density, coverage=coverage)
+    def finalize():
+        ca = ensure_ndarray(cand_any)
+        cc = ensure_ndarray(cand_count)
+        ra = ensure_ndarray(ref_any)
+        rm = ensure_ndarray(ref_min)
+        rr = ensure_ndarray(ref_radii)
+        return dict(
+            precision=float(np.mean(ca.astype(np.float64))),
+            recall=float(np.mean(ra.astype(np.float64))),
+            density=float(np.mean(cc.astype(np.float64))) / float(nearest_k),
+            coverage=float(np.mean((rm < rr).astype(np.float64))),
+        )
+
+    return finalize if lazy else finalize()

@@ -233,6 +233,9 @@ def main():
                     "add_reference_s": round(t_ref, 2),
                     "evaluate_s": round(t_eval, 2),
                     "host_fed_clips_per_s": round(N_CLIPS_HOST / t_host, 2),
+                    "eval_timings": {
+                        k: round(v, 3) for k, v in am.timings.items()
+                    },
                     "real_weights": bool(embedder.real_weights),
                     "compile_cache_at_start": _CACHE_STATE,
                     "metrics": {k: float(v) for k, v in result.items()},
