@@ -33,9 +33,20 @@ def _sym_sqrtm(a: np.ndarray) -> np.ndarray:
 
 
 def trace_sqrtm_product(sigma_x: np.ndarray, sigma_y: np.ndarray) -> float:
-    """``Tr sqrt(sigma_x @ sigma_y)`` for symmetric PSD inputs."""
-    sx_half = _sym_sqrtm(sigma_x)
-    m = sx_half @ sigma_y @ sx_half
+    """``Tr sqrt(sigma_x @ sigma_y)`` for symmetric PSD inputs.
+
+    Fast path: with ``sigma_x = L L^T`` (Cholesky), ``eig(sigma_x sigma_y)
+    = eig(L^T sigma_y L)`` (cyclic similarity), and ``L^T sigma_y L`` is
+    symmetric PSD — one Cholesky + eigvalsh (~22 ms at d=512) instead of a
+    full eigendecomposition for the matrix square root (~60 ms).  Falls
+    back to the eigh route when sigma_x is numerically semidefinite."""
+    try:
+        l = np.linalg.cholesky(sigma_x)
+    except np.linalg.LinAlgError:
+        sx_half = _sym_sqrtm(sigma_x)
+        m = sx_half @ sigma_y @ sx_half
+    else:
+        m = l.T @ sigma_y @ l
     vals = np.linalg.eigvalsh(m)
     return float(np.sqrt(np.clip(vals, 0.0, None)).sum())
 

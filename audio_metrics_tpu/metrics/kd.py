@@ -236,8 +236,7 @@ def _device_mmd2_subsets(
         if max(features_1.shape[0], features_2.shape[0]) < (1 << 16)
         else jnp.int32
     )
-    i1 = jnp.asarray(idx_1.astype(np.int64), dtype=idx_dt)
-    i2 = jnp.asarray(idx_2.astype(np.int64), dtype=idx_dt)
+    i1, i2 = _device_indices(idx_1, idx_2, str(np.dtype(idx_dt)))
     m = idx_1.shape[1]
     kparams = (kernel_type, degree, gamma, coef0, sigma)
 
@@ -285,6 +284,34 @@ def _device_mmd2_subsets(
         return _host_mmd2(jax.device_get(arrs), m)
 
     return finalize if lazy else finalize()
+
+
+def _device_indices(idx_1, idx_2, dtype_str: str):
+    """Device copies of the subset index arrays, cached across evaluate()
+    calls (the host arrays are themselves lru-cached and read-only, so
+    identity is a safe key; ~0.4 MB pinned per entry)."""
+    import jax.numpy as jnp
+
+    key = (id(idx_1), id(idx_2), dtype_str)
+    hit = _DEVICE_IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dt = jnp.dtype(dtype_str)
+    pair = (
+        jnp.asarray(idx_1.astype(np.int64), dtype=dt),
+        jnp.asarray(idx_2.astype(np.int64), dtype=dt),
+    )
+    if len(_DEVICE_IDX_CACHE) > 8:
+        _DEVICE_IDX_CACHE.clear()
+        _DEVICE_IDX_CACHE_KEEP.clear()
+    # keep the host arrays alive so the id()-based keys stay valid
+    _DEVICE_IDX_CACHE[key] = pair
+    _DEVICE_IDX_CACHE_KEEP[key] = (idx_1, idx_2)
+    return pair
+
+
+_DEVICE_IDX_CACHE: dict = {}
+_DEVICE_IDX_CACHE_KEEP: dict = {}
 
 
 @lru_cache(maxsize=8)
