@@ -680,3 +680,259 @@ def swin_attention_block_pallas_v3(
             float(eps),
             interpret,
         )
+
+
+def _swin_block_kernel_v4(
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float,
+    x_ref,
+    ln_w_ref,
+    ln_b_ref,
+    wqkv_ref,
+    bq_ref,
+    wp_ref,
+    bp_ref,
+    bmw_ref,
+    ln2_w_ref,
+    ln2_b_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    out_ref,
+):
+    """WHOLE swin block (v3 attention half + LN2/MLP half) in one
+    pallas_call: x is read from HBM once and the block output written once —
+    the attention residual never round-trips HBM between the halves."""
+    from .mlp import _erf_f32
+
+    kb, height, width, c = x_ref.shape
+    n = window * window
+    hb, wb = height // window, width // window
+    g = kb * hb * wb
+    rows = kb * height * width
+    d = c // heads
+    hn = heads * n
+    dt = x_ref.dtype
+
+    xin = x_ref[:].reshape(rows, c)
+    xf = xin.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    xn_f32 = (
+        (xf - mu)
+        * jax.lax.rsqrt(var + jnp.float32(eps))
+        * ln_w_ref[:].astype(jnp.float32)
+        + ln_b_ref[:].astype(jnp.float32)
+    )
+
+    x4 = xn_f32.reshape(kb, height, width, c)
+    if shift:
+        x4 = pltpu.roll(x4, height - shift, 1)
+        x4 = pltpu.roll(x4, width - shift, 2)
+    x4 = x4.astype(dt)
+    xw = (
+        x4.reshape(kb, hb, window, wb, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(g * n, c)
+    )
+
+    y = (
+        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(dt)
+    q = y[:, :c].reshape(g, n, c)
+    k = y[:, c : 2 * c].reshape(g, n, c)
+    v = y[:, 2 * c :].reshape(g, n, c)
+
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 0) // n
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 1) // d
+    mask = (row_head == col_head).astype(dt)
+
+    kw = jnp.concatenate([k] * heads, axis=1) * mask[None]
+    vw = jnp.concatenate([v] * heads, axis=1) * mask[None]
+
+    s = jax.lax.dot_general(
+        q,
+        kw,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if bmw_ref.shape[0] == 1:
+        s = s + bmw_ref[0][None]
+    else:
+        s = s + jnp.broadcast_to(
+            bmw_ref[:][None], (kb, bmw_ref.shape[0], n, hn)
+        ).reshape(g, n, hn)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 0) // n
+        == jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 1)
+    ).astype(jnp.float32)
+    den = jax.lax.dot_general(e, sel, dimension_numbers=(((2,), (0,)), ((), ())))
+    den_wide = jax.lax.dot_general(
+        den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
+    )
+    p = (e / den_wide).astype(dt)
+
+    ctx = jax.lax.dot_general(
+        p,
+        vw,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ow = (
+        jnp.dot(
+            ctx.reshape(g * n, c).astype(dt),
+            wp_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bp_ref[:].astype(jnp.float32)
+    )
+    o4 = (
+        ow.reshape(kb, hb, wb, window, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(kb, height, width, c)
+    )
+    if shift:
+        o4 = pltpu.roll(o4, shift, 1)
+        o4 = pltpu.roll(o4, shift, 2)
+    res = o4.reshape(rows, c) + xin.astype(jnp.float32)  # f32 residual
+
+    # MLP half: LN2 + fc1 + exact-GELU(erf poly) + fc2 + residual
+    mu2 = jnp.mean(res, axis=-1, keepdims=True)
+    var2 = jnp.mean((res - mu2) * (res - mu2), axis=-1, keepdims=True)
+    h = (
+        (res - mu2)
+        * jax.lax.rsqrt(var2 + jnp.float32(eps))
+        * ln2_w_ref[:].astype(jnp.float32)
+        + ln2_b_ref[:].astype(jnp.float32)
+    ).astype(dt)
+    h1 = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[
+        :
+    ].astype(jnp.float32)
+    h1 = h1 * jnp.float32(0.5) * (
+        jnp.float32(1.0) + _erf_f32(h1 * jnp.float32(0.70710678118654752))
+    )
+    h2 = jnp.dot(
+        h1.astype(dt), w2_ref[:], preferred_element_type=jnp.float32
+    ) + b2_ref[:].astype(jnp.float32)
+    out_ref[:] = (res + h2).astype(dt).reshape(kb, height, width, c)
+
+
+def _kb_for_v4(batch, height, width, c, heads, window) -> int:
+    """v3 footprint + the MLP intermediates (rows x 4C f32)."""
+    n = window * window
+    hn = heads * n
+    nw = (height // window) * (width // window)
+    per_image = (
+        nw * (2 * hn * c * 2 + n * hn * 10)
+        + height * width * c * 4
+        + height * width * 4 * c * 6
+    )
+    kb = 1
+    while (
+        kb * 2 <= batch
+        and batch % (kb * 2) == 0
+        and (kb * 2) * per_image <= 48 * 1024 * 1024
+    ):
+        kb *= 2
+    return kb
+
+
+@partial(
+    jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
+)
+def _swin_block_call_v4(
+    x, ln_w, ln_b, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2,
+    heads, window, shift, eps, interpret,
+):
+    b, height, width, c = x.shape
+    kb = _kb_for_v4(b, height, width, c, heads, window)
+    n = window * window
+    wspec = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_swin_block_kernel_v4, heads, window, shift, eps),
+        grid=(b // kb,),
+        in_specs=[
+            pl.BlockSpec(
+                (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            wspec(ln_w.shape),
+            wspec(ln_b.shape),
+            wspec(wqkv.shape),
+            wspec(bq.shape),
+            wspec(wp.shape),
+            wspec(bp.shape),
+            wspec((bmw.shape[0], n, heads * n)),
+            wspec(ln2_w.shape),
+            wspec(ln2_b.shape),
+            wspec(w1.shape),
+            wspec(b1.shape),
+            wspec(w2.shape),
+            wspec(b2.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, height, width, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln_w, ln_b, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2)
+
+
+def swin_block_pallas_v4(
+    x,
+    ln_w,
+    ln_b,
+    wqkv,
+    bq3,
+    wp,
+    bp,
+    bias_mask,
+    ln2_w,
+    ln2_b,
+    w1,
+    b1,
+    w2,
+    b2,
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Whole swin block (v3 attention + MLP) in one kernel.  Attention
+    weight layout as in v3; w1: (C, 4C), w2: (4C, C) input-major."""
+    nw, h_, n, _ = bias_mask.shape
+    bmw = jnp.asarray(bias_mask, jnp.float32).transpose(0, 2, 1, 3).reshape(
+        nw, n, h_ * n
+    )
+    with _x32_scope():
+        return _swin_block_call_v4(
+            x,
+            ln_w,
+            ln_b,
+            wqkv,
+            jnp.asarray(bq3, jnp.float32),
+            wp,
+            bp,
+            bmw,
+            ln2_w,
+            ln2_b,
+            w1,
+            b1,
+            w2,
+            b2,
+            heads,
+            window,
+            int(shift),
+            float(eps),
+            interpret,
+        )

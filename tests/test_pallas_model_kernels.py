@@ -398,3 +398,73 @@ def test_attention_v3_matches_v1(stage, shift):
         shift=shift, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(o3), np.asarray(o1), atol=5e-5)
+
+
+@pytest.mark.parametrize("stage,shift", [(0, 4), (2, 4), (3, 0)])
+def test_swin_block_v4_matches_xla(stage, shift):
+    """The v4 whole-block kernel (v3 attention + MLP in one pallas_call)
+    must match the XLA _swin_block end to end (interpret mode)."""
+    from audio_metrics_tpu.ops.attention import swin_block_pallas_v4
+    from audio_metrics_tpu.models.htsat import _swin_block
+
+    rng = np.random.default_rng(11 * stage + shift)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = min(cfg.window_size, res)
+    if res <= window:
+        shift = 0
+    n = window * window
+    d = c // heads
+    prefix = f"audio_encoder.layers.{stage}.blocks.0"
+    pre = f"{prefix}.attention"
+    B = 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, c)).astype(np.float32))
+    want = _swin_block(x, params, prefix, cfg, res, shift, heads)
+
+    scale = 1.0 / np.sqrt(d)
+    wqkv = jnp.concatenate(
+        [
+            params[f"{pre}.self.query.weight"].T * scale,
+            params[f"{pre}.self.key.weight"].T,
+            params[f"{pre}.self.value.weight"].T,
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    bq3 = jnp.concatenate(
+        [params[f"{pre}.self.query.bias"] * scale, jnp.zeros(2 * c)]
+    ).astype(jnp.float32)
+    wp = params[f"{pre}.output.dense.weight"].T.astype(jnp.float32)
+    wp_h = params[f"{pre}.output.dense.weight"].T.reshape(heads, d, c)
+    bv = params[f"{pre}.self.value.bias"].reshape(heads, d)
+    bp = (
+        params[f"{pre}.output.dense.bias"]
+        + jnp.einsum("hd,hdc->c", bv, wp_h.astype(jnp.float32))
+    ).astype(jnp.float32)
+    table = params[f"{pre}.self.relative_position_bias_table"].astype(jnp.float32)
+    idx = _relative_position_index(window).reshape(-1)
+    bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+    bm = bias[None]
+    if shift:
+        bm = bm + jnp.asarray(_shift_attn_mask(res, res, window, shift))[:, None]
+
+    got = swin_block_pallas_v4(
+        x.reshape(B, res, res, c),
+        params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
+        wqkv, bq3, wp, bp, bm,
+        params[f"{prefix}.layernorm_after.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_after.bias"].astype(jnp.float32),
+        params[f"{prefix}.intermediate.dense.weight"].T.astype(jnp.float32),
+        params[f"{prefix}.intermediate.dense.bias"].astype(jnp.float32),
+        params[f"{prefix}.output.dense.weight"].T.astype(jnp.float32),
+        params[f"{prefix}.output.dense.bias"].astype(jnp.float32),
+        heads, window, shift, eps=cfg.layer_norm_eps, interpret=True,
+    ).reshape(B, res * res, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
