@@ -475,7 +475,7 @@ def log_mel_pallas_halo(
             kernel,
             grid=(b, n_tiles),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
                     (n_chunks, hop_pad, 2 * n_bins_keep),
                     lambda bi, ti: (0, 0, 0),
