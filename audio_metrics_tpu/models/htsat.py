@@ -516,6 +516,10 @@ def _swin_block(
 def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
     h = w = resolution
     b, _, c = x.shape
+    # Strided slices, not reshape/transpose: the equivalent
+    # reshape(b,h/2,2,w/2,2,c)+transpose measured SLOWER on v5e (merge 0 at
+    # B=64: 1.84 vs 1.22 ms) — XLA lowers the 2x2 strided gathers better
+    # than the minor-dims transpose.
     x = x.reshape(b, h, w, c)
     x = jnp.concatenate(
         [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
