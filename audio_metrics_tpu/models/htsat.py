@@ -347,22 +347,18 @@ def _attention_half_pallas(
     return out.reshape(b, h * w, c)
 
 
-def _attention_half_pallas_v3(
-    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int,
-    num_heads: int, window: int,
+def _v3_kernel_weights(
+    params, prefix, resolution: int, shift: int, num_heads: int, window: int, dt
 ):
-    """x + WindowAttention(LN(x)) via the all-heads-one-matmul v3 kernel
-    (ops/attention.py: _attn_block_kernel_v3) — the default TPU attention
-    path at every stage (see _use_pallas_attention_v3 for measurements)."""
-    from ..ops.attention import swin_attention_block_pallas_v3
-
-    b, _, c = x.shape
+    """Weight layout shared by the v3/v4 kernels: fused (C, 3C) wqkv with the
+    1/sqrt(d) scale folded into q, the value bias folded into the projection
+    bias, and the (nW or 1, heads, n, n) additive bias+mask table."""
     h = w = resolution
     n = window * window
+    c = params[f"{prefix}.attention.self.query.weight"].shape[0]
     d = c // num_heads
     scale = 1.0 / np.sqrt(d)
     pre = f"{prefix}.attention"
-    dt = x.dtype
 
     wqkv = jnp.concatenate(
         [
@@ -394,6 +390,23 @@ def _attention_half_pallas_v3(
         bm = bias[None] + mask[:, None]
     else:
         bm = bias[None]
+    return wqkv, bq3, wp, bp, bm
+
+
+def _attention_half_pallas_v3(
+    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int,
+    num_heads: int, window: int,
+):
+    """x + WindowAttention(LN(x)) via the all-heads-one-matmul v3 kernel
+    (ops/attention.py: _attn_block_kernel_v3) — the default TPU attention
+    path at every stage (see _use_pallas_attention_v3 for measurements)."""
+    from ..ops.attention import swin_attention_block_pallas_v3
+
+    b, _, c = x.shape
+    h = w = resolution
+    wqkv, bq3, wp, bp, bm = _v3_kernel_weights(
+        params, prefix, resolution, shift, num_heads, window, x.dtype
+    )
 
     out = swin_attention_block_pallas_v3(
         x.reshape(b, h, w, c),
@@ -412,8 +425,68 @@ def _attention_half_pallas_v3(
     return out.reshape(b, h * w, c)
 
 
+def _whole_block_pallas_v4(
+    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int,
+    num_heads: int, window: int, interpret: bool = False,
+):
+    """The WHOLE swin block (v3 attention half + LN2/MLP half) in one
+    pallas_call (ops/attention.py: _swin_block_kernel_v4) — the attention
+    residual never round-trips HBM between the halves."""
+    from ..ops.attention import swin_block_pallas_v4
+
+    b, _, c = x.shape
+    h = w = resolution
+    dt = x.dtype
+    wqkv, bq3, wp, bp, bm = _v3_kernel_weights(
+        params, prefix, resolution, shift, num_heads, window, dt
+    )
+    out = swin_block_pallas_v4(
+        x.reshape(b, h, w, c),
+        params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
+        wqkv,
+        bq3,
+        wp,
+        bp,
+        bm,
+        params[f"{prefix}.layernorm_after.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_after.bias"].astype(jnp.float32),
+        params[f"{prefix}.intermediate.dense.weight"].T.astype(dt),
+        params[f"{prefix}.intermediate.dense.bias"].astype(jnp.float32),
+        params[f"{prefix}.output.dense.weight"].T.astype(dt),
+        params[f"{prefix}.output.dense.bias"].astype(jnp.float32),
+        num_heads,
+        window,
+        shift,
+        eps=cfg.layer_norm_eps,
+        interpret=interpret,
+    )
+    return out.reshape(b, h * w, c)
+
+
+# Per-stage v4 dispatch: comma list of {stage}{u|s} entries (u = unshifted
+# blocks, s = shifted).  Measured v5e B=64 ms/block vs the v3-attention +
+# fused-MLP pair: stage-2 unshifted 1.01 -> 0.77 (win); stages 0 and 3 LOSE
+# (the whole-block kernel serializes what XLA overlaps there), so the
+# default is only "2u".  Read once at import — toggling after the first
+# forward would be silently ignored by the jit cache (same caveat as
+# AM_TPU_NO_PALLAS).
+_V4_STAGES = frozenset(
+    s.strip() for s in os.environ.get("AM_TPU_V4_STAGES", "2u").split(",") if s.strip()
+)
+
+
+def _use_pallas_v4(stage: int, shift: int) -> bool:
+    if os.environ.get("AM_TPU_NO_PALLAS") or os.environ.get("AM_TPU_ATTN_V1"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return f"{stage}{'s' if shift else 'u'}" in _V4_STAGES
+
+
 def _swin_block(
-    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int, num_heads: int
+    x, params, prefix, cfg: HTSATConfig, resolution: int, shift: int,
+    num_heads: int, stage: int = -1,
 ):
     """x: (B, H*W, C) -> same.  Static resolution/shift/heads."""
     window = cfg.window_size
@@ -447,6 +520,10 @@ def _swin_block(
         and not os.environ.get("AM_TPU_NO_PALLAS")
         and jax.default_backend() == "tpu"
     )
+    if _use_pallas_v4(stage, shift) and not merge_windows:
+        return _whole_block_pallas_v4(
+            x, params, prefix, cfg, resolution, shift, num_heads, window
+        )
     if _use_pallas_attention_v3() and not merge_windows:
         x = _attention_half_pallas_v3(
             x, params, prefix, cfg, resolution, shift, num_heads, window
@@ -627,6 +704,7 @@ def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE, compute_dtype
                 resolution,
                 shift,
                 cfg.num_heads[i],
+                stage=i,
             )
         if i < n_stages - 1:
             x = _patch_merging(

@@ -468,3 +468,32 @@ def test_swin_block_v4_matches_xla(stage, shift):
         heads, window, shift, eps=cfg.layer_norm_eps, interpret=True,
     ).reshape(B, res * res, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+@pytest.mark.parametrize("stage,shift", [(2, 0), (2, 4)])
+def test_wired_v4_helper_matches_xla(stage, shift):
+    """The model-side v4 wiring (_whole_block_pallas_v4: shared
+    _v3_kernel_weights prep + swin_block_pallas_v4) must match the XLA
+    _swin_block path it replaces at the stages the dispatch table enables
+    (default AM_TPU_V4_STAGES="2u")."""
+    from audio_metrics_tpu.models.htsat import _swin_block, _whole_block_pallas_v4
+
+    rng = np.random.default_rng(101 + stage + shift)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = min(cfg.window_size, res)
+    prefix = f"audio_encoder.layers.{stage}.blocks.0"
+    B = 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, c)).astype(np.float32))
+
+    want = _swin_block(x, params, prefix, cfg, res, shift, heads, stage=stage)
+    got = _whole_block_pallas_v4(
+        x, params, prefix, cfg, res, shift, heads, window, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
