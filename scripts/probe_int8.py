@@ -1,9 +1,12 @@
 """Is int8 matmul actually ~2x bf16 on this chip (v5e: 394 int8 TOPS vs
 197 bf16 TFLOPs), at the shapes the HTSAT stage-2 MLP uses?
 
-Times k-in-jit chained matmuls (relay-overhead-free slope) for bf16 vs
-int8(->int32) at (rows, C) @ (C, 4C): the decision probe for an opt-in
-quantized forward path.
+Method: time (R, k*C) @ (k*C, 4C) for k in {1, 9} and take the slope —
+widening the contraction dim adds pure MXU work with NO extra vector ops
+or output traffic (the k-wide matmul IS the sum of k (R,C)@(C,4C)
+matmuls, accumulated inside the MXU), so the slope isolates matmul
+throughput from relay/dispatch/requant noise.  Decision probe for an
+opt-in quantized forward path.
 """
 
 import sys
@@ -13,66 +16,43 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 16384  # stage-2 B=64
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 16384  # stage-2 rows at B=64
 C = 512
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
 
-def bench(fn, *args, n=10):
+def bench(fn, *args, n=N):
     out = fn(*args)
-    _ = float(jnp.sum(out.astype(jnp.float32).ravel()[:1]))
+    _ = float(jnp.sum(out[:1, :1].astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    _ = float(jnp.sum(out.astype(jnp.float32).ravel()[:1]))
+    _ = float(jnp.sum(out[:1, :1].astype(jnp.float32)))
     return (time.perf_counter() - t0) / n
 
 
-def slope(make, *args):
-    return (bench(make(9), *args) - bench(make(1), *args)) / 8
+def slope(dtype, acc_dtype):
+    rng = np.random.default_rng(0)
+
+    def run(k):
+        if dtype == jnp.int8:
+            x = jnp.asarray(rng.integers(-127, 127, size=(R, k * C)), dtype)
+            w = jnp.asarray(rng.integers(-127, 127, size=(k * C, 4 * C)), dtype)
+        else:
+            x = jnp.asarray(rng.normal(size=(R, k * C)), dtype)
+            w = jnp.asarray(rng.normal(size=(k * C, 4 * C)), dtype)
+        fn = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=acc_dtype))
+        return bench(fn, x, w)
+
+    return (run(9) - run(1)) / 8
 
 
 def main():
-    rng = np.random.default_rng(0)
-    xb = jnp.asarray(rng.normal(size=(ROWS, C)), jnp.bfloat16)
-    wb = jnp.asarray(rng.normal(size=(C, 4 * C)), jnp.bfloat16)
-    w2b = jnp.asarray(rng.normal(size=(4 * C, C)), jnp.bfloat16)
-    xi = jnp.asarray(rng.integers(-127, 127, size=(ROWS, C)), jnp.int8)
-    wi = jnp.asarray(rng.integers(-127, 127, size=(C, 4 * C)), jnp.int8)
-    w2i = jnp.asarray(rng.integers(-127, 127, size=(4 * C, C)), jnp.int8)
-
-    def make_bf16(k):
-        @jax.jit
-        def fn(x, w1, w2):
-            for _ in range(k):
-                h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
-                x = jnp.dot(
-                    h.astype(jnp.bfloat16), w2,
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)
-            return x
-
-        return fn
-
-    def make_int8(k):
-        @jax.jit
-        def fn(x, w1, w2):
-            for _ in range(k):
-                h = jnp.dot(x, w1, preferred_element_type=jnp.int32)
-                # re-narrow like a dynamic requant would
-                x = jnp.dot(
-                    (h >> 8).astype(jnp.int8), w2,
-                    preferred_element_type=jnp.int32,
-                )
-                x = (x >> 8).astype(jnp.int8)
-            return x
-
-        return fn
-
-    flops = 2 * ROWS * C * 4 * C * 2  # two matmuls per iteration
-    tb = slope(make_bf16, xb, wb, w2b)
-    print(f"bf16 : {1e3 * tb:7.3f} ms/iter  {flops / tb / 1e12:6.1f} TF/s", flush=True)
-    ti = slope(make_int8, xi, wi, w2i)
-    print(f"int8 : {1e3 * ti:7.3f} ms/iter  {flops / ti / 1e12:6.1f} TOP/s", flush=True)
+    ops = 2 * R * C * 4 * C  # one (R,C)@(C,4C) worth of MACs*2
+    tb = slope(jnp.bfloat16, jnp.float32)
+    print(f"bf16 : {1e3 * tb:7.3f} ms/Cslab  {ops / tb / 1e12:6.1f} TF/s", flush=True)
+    ti = slope(jnp.int8, jnp.int32)
+    print(f"int8 : {1e3 * ti:7.3f} ms/Cslab  {ops / ti / 1e12:6.1f} TOP/s", flush=True)
     print(f"ratio: {tb / ti:.2f}x", flush=True)
 
 
