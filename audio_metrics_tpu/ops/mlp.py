@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mlp_block_pallas"]
+__all__ = ["mlp_block_pallas", "mlp_block_pallas_int8"]
 
 
 def _x32_scope():
@@ -112,6 +112,118 @@ def _mlp_call(x, ln_w, ln_b, w1, b1, w2, b2, eps, interpret):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_w, ln_b, w1, b1, w2, b2)
+
+
+def _mlp_kernel_int8(
+    eps,
+    x_ref,
+    ln_w_ref,
+    ln_b_ref,
+    w1_ref,
+    s1_ref,
+    b1_ref,
+    w2_ref,
+    s2_ref,
+    b2_ref,
+    out_ref,
+):
+    """int8 variant: both matmuls run on the MXU's int8 path (measured 2.22x
+    bf16 FLOPs on v5e, scripts/probe_int8.py).  Weights are per-output-column
+    symmetric int8 (scales s1/s2); activations are quantized per row on the
+    fly inside the kernel, so the only extra VMEM passes are the two abs-max
+    reductions + rounding, and every dequant multiply fuses into the
+    bias/GELU/residual passes that already touch those tensors."""
+    dt = x_ref.dtype
+    xin = x_ref[:]
+    xf = xin.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + jnp.float32(eps)) * ln_w_ref[:].astype(
+        jnp.float32
+    ) + ln_b_ref[:].astype(jnp.float32)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xn), axis=-1, keepdims=True), jnp.float32(1e-12)
+    ) * jnp.float32(1.0 / 127.0)
+    qx = jnp.round(xn / sx).astype(jnp.int8)
+    y = jnp.dot(qx, w1_ref[:], preferred_element_type=jnp.int32).astype(
+        jnp.float32
+    ) * (sx * s1_ref[:]) + b1_ref[:].astype(jnp.float32)
+    y = y * jnp.float32(0.5) * (jnp.float32(1.0) + _erf_f32(y * jnp.float32(0.7071067811865476)))
+    sy = jnp.maximum(
+        jnp.max(jnp.abs(y), axis=-1, keepdims=True), jnp.float32(1e-12)
+    ) * jnp.float32(1.0 / 127.0)
+    qy = jnp.round(y / sy).astype(jnp.int8)
+    z = jnp.dot(qy, w2_ref[:], preferred_element_type=jnp.int32).astype(
+        jnp.float32
+    ) * (sy * s2_ref[:]) + b2_ref[:].astype(jnp.float32)
+    out_ref[:] = (z + xf).astype(dt)
+
+
+@partial(jax.jit, static_argnames=("eps", "interpret"))
+def _mlp_call_int8(x, ln_w, ln_b, w1, b1, w2, b2, eps, interpret):
+    rows, c = x.shape
+    hidden = w1.shape[1]
+
+    def quant_cols(w):
+        s = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=0, keepdims=True), jnp.float32(1e-12)
+        ) * jnp.float32(1.0 / 127.0)
+        return jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8), s
+
+    w1_q, s1 = quant_cols(w1)
+    w2_q, s2 = quant_cols(w2)
+    t = _tile_rows(rows, c, x.dtype.itemsize)
+    wspec = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_mlp_kernel_int8, eps),
+        grid=(rows // t,),
+        in_specs=[
+            pl.BlockSpec((t, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            wspec(ln_w.shape),
+            wspec(ln_b.shape),
+            wspec((c, hidden)),
+            wspec((1, hidden)),
+            wspec(b1.shape),
+            wspec((hidden, c)),
+            wspec((1, c)),
+            wspec(b2.shape),
+        ],
+        out_specs=pl.BlockSpec((t, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln_w, ln_b, w1_q, s1, b1, w2_q, s2, b2)
+
+
+def mlp_block_pallas_int8(
+    x, ln_w, ln_b, w1, b1, w2, b2, eps: float = 1e-5, interpret=False
+):
+    """x + fc2(gelu(fc1(LN(x)))) with int8 MXU matmuls (opt-in fast mode).
+
+    Same contract as mlp_block_pallas but w1/w2 are given in f32 (quantized
+    per output column inside the jit — XLA CSEs the prep across calls on the
+    same weights).  Deviation vs the bf16 kernel is the symmetric-quant
+    error: ~0.2-0.5% rms on the MLP branch output, bounded by tests.
+    """
+    shape = x.shape
+    rows = 1
+    for s in shape[:-1]:
+        rows *= s
+    with _x32_scope():
+        out = _mlp_call_int8(
+            x.reshape(rows, shape[-1]),
+            ln_w,
+            ln_b,
+            w1,
+            b1,
+            w2,
+            b2,
+            float(eps),
+            interpret,
+        )
+    return out.reshape(shape)
 
 
 def mlp_block_pallas(x, ln_w, ln_b, w1, b1, w2, b2, eps: float = 1e-5, interpret=False):

@@ -224,6 +224,36 @@ def test_mlp_block_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+def test_mlp_block_kernel_int8_close_to_exact():
+    """W8A8 dynamic-quant MLP kernel: the quantization error on the MLP
+    *branch* (output minus residual) stays within ~2% rms of the exact
+    branch.  The kernel is a measured NEGATIVE for speed on v5e at HTSAT
+    shapes (see BASELINE.md: the fused MLP is VPU/traffic-bound, so the
+    int8 MXU saving is outweighed by the in-kernel quant passes at stages
+    0-1); it is kept as the documented decision record."""
+    from audio_metrics_tpu.ops.mlp import mlp_block_pallas_int8
+
+    rng = np.random.default_rng(11)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(4, 256, c)).astype(np.float32))
+    lnw = jnp.asarray(rng.normal(1.0, 0.1, size=c).astype(np.float32))
+    lnb = jnp.asarray(rng.normal(0.0, 0.1, size=c).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(scale=0.09, size=(c, 4 * c)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=4 * c).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(scale=0.04, size=(4 * c, c)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=c).astype(np.float32))
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x - mu) / jnp.sqrt(var + 1e-5) * lnw + lnb
+    branch_ref = np.asarray(jax.nn.gelu(xn @ w1 + b1, approximate=False) @ w2 + b2)
+
+    out = mlp_block_pallas_int8(x, lnw, lnb, w1, b1, w2, b2, interpret=True)
+    branch = np.asarray(out) - np.asarray(x)
+    rel = np.linalg.norm(branch - branch_ref) / np.linalg.norm(branch_ref)
+    assert rel < 0.02, rel
+
+
 @pytest.mark.parametrize(
     "conv",
     [
