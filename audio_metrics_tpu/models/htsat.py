@@ -465,14 +465,18 @@ def _whole_block_pallas_v4(
 
 
 # Per-stage v4 dispatch: comma list of {stage}{u|s} entries (u = unshifted
-# blocks, s = shifted).  Measured v5e B=64 ms/block vs the v3-attention +
-# fused-MLP pair: stage-2 unshifted 1.01 -> 0.77 (win); stages 0 and 3 LOSE
-# (the whole-block kernel serializes what XLA overlaps there), so the
-# default is only "2u".  Read once at import — toggling after the first
-# forward would be silently ignored by the jit cache (same caveat as
-# AM_TPU_NO_PALLAS).
+# blocks, s = shifted).  Measured v5e B=64: full-forward A/B
+# (scripts/ab_forward.py, 30-iter loop) gives 2u,2s 22.87 ms vs 2u 23.44 /
+# 2s 23.67 / none 23.79; per-block, stage-2 unshifted is 1.01 -> 0.77.
+# Stage 0/1/3 entries LOSE (1u 23.90, 1s 24.10; stages 0/3 lost in the
+# earlier global-v4 A/B — the whole-block kernel serializes what XLA
+# overlaps there), so the default is "2u,2s".  Read once at import —
+# toggling after the first forward would be silently ignored by the jit
+# cache (same caveat as AM_TPU_NO_PALLAS).
 _V4_STAGES = frozenset(
-    s.strip() for s in os.environ.get("AM_TPU_V4_STAGES", "2u").split(",") if s.strip()
+    s.strip()
+    for s in os.environ.get("AM_TPU_V4_STAGES", "2u,2s").split(",")
+    if s.strip()
 )
 
 
