@@ -473,7 +473,12 @@ def _device_pair_eval(
             amd._embeddings_dev = None
         return amd
 
-    chunk = 64
+    # Registry mixes stay on device in 64-pair chunks (bounds the loudness-
+    # meter intermediates).  User-callable mixes (reference protocol
+    # f(audio[n,2], sr) -> mono[n]) run on host inside _device_mix; use
+    # smaller chunks there so each device->host pull stays well under the
+    # large-transfer limits of remote-device links (CLAUDE.md).
+    chunk = 64 if getattr(mix_function, "is_batched_mix", False) else 16
     mix_diag = []
 
     def mix_all(pairs_at):
@@ -715,7 +720,6 @@ def embedding_pipeline(
         and apa_mode is not None
         and not need_resample
         and embedder.embed_fn is not None
-        and getattr(mix_function, "is_batched_mix", False)
     )
     if device_resident_pairs:
         win_len = window_length(in_sr, win_dur)

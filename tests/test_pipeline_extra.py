@@ -200,6 +200,49 @@ def test_device_resident_pairs_match_host_feeder():
     )
 
 
+def test_device_resident_pairs_callable_mix_matches_host_feeder():
+    """A user-callable mix (reference protocol f(audio[n,2], sr) -> mono)
+    also takes the device-resident pair path: the mix itself runs on host
+    per chunk but windowing/embedding stay fused on device.  Aligned/stem
+    stats must match the streaming feeder exactly."""
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu.models import DummyEmbedder
+    from audio_metrics_tpu.parallel.pipeline import ItemCategory, embedding_pipeline
+
+    calls = []
+
+    def my_mix(audio, sr):
+        calls.append(np.asarray(audio).shape)
+        return np.asarray(audio).mean(axis=1)
+
+    rng = np.random.default_rng(5)
+    sr = 16000
+    data = (0.3 * rng.normal(size=(7, 5 * sr, 2))).astype(np.float32)
+
+    kwargs = dict(
+        embedder=DummyEmbedder(),
+        mix_function=my_mix,
+        apa_mode="reference",
+        stems_mode=True,
+        store_stem_embeddings=True,
+        batch_size=4,
+        win_dur=5.0,
+        seed=7,
+    )
+    r_host = embedding_pipeline(data, use_native=False, **kwargs)
+    n_host_calls = len(calls)
+    assert n_host_calls  # the callable really ran
+    r_dev = embedding_pipeline(jnp.asarray(data), **kwargs)
+
+    for cat in (ItemCategory.aligned, ItemCategory.stem):
+        a, b = r_host[cat], r_dev[cat]
+        assert a.n == b.n
+        np.testing.assert_allclose(a.mean, b.mean, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(a.cov, b.cov, rtol=1e-4, atol=1e-5)
+    assert r_host[ItemCategory.misaligned].n == r_dev[ItemCategory.misaligned].n
+
+
 def test_device_resident_pairs_apa_end_to_end():
     """Full AudioMetrics APA flow with device-resident pair arrays."""
     import jax.numpy as jnp
