@@ -351,8 +351,11 @@ def _v3_kernel_weights(
     params, prefix, resolution: int, shift: int, num_heads: int, window: int, dt
 ):
     """Weight layout shared by the v3/v4 kernels: fused (C, 3C) wqkv with the
-    1/sqrt(d) scale folded into q, the value bias folded into the projection
-    bias, and the (nW or 1, heads, n, n) additive bias+mask table."""
+    1/sqrt(d) scale folded into q AND the LN affine (ln_w/ln_b) folded into
+    the weights/bias (the kernel only mean/var-normalizes — two fewer vector
+    passes over the full activation), the value bias folded into the
+    projection bias, and the (nW or 1, heads, n, n) additive bias+mask
+    table."""
     h = w = resolution
     n = window * window
     c = params[f"{prefix}.attention.self.query.weight"].shape[0]
@@ -360,19 +363,25 @@ def _v3_kernel_weights(
     scale = 1.0 / np.sqrt(d)
     pre = f"{prefix}.attention"
 
-    wqkv = jnp.concatenate(
+    wqkv_f32 = jnp.concatenate(
         [
             params[f"{pre}.self.query.weight"].T * jnp.float32(scale),
             params[f"{pre}.self.key.weight"].T,
             params[f"{pre}.self.value.weight"].T,
         ],
         axis=1,
-    ).astype(dt)
-    bq3 = jnp.concatenate(
-        [
-            params[f"{pre}.self.query.bias"] * jnp.float32(scale),
-            jnp.zeros(2 * c, jnp.float32),
-        ]
+    ).astype(jnp.float32)
+    ln_w = params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32)
+    ln_b = params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32)
+    wqkv = (ln_w[:, None] * wqkv_f32).astype(dt)
+    bq3 = (
+        jnp.concatenate(
+            [
+                params[f"{pre}.self.query.bias"] * jnp.float32(scale),
+                jnp.zeros(2 * c, jnp.float32),
+            ]
+        )
+        + ln_b @ wqkv_f32
     ).astype(jnp.float32)
     wp = params[f"{pre}.output.dense.weight"].T.astype(dt)
     wp_h = params[f"{pre}.output.dense.weight"].T.reshape(num_heads, d, c)
@@ -410,8 +419,8 @@ def _attention_half_pallas_v3(
 
     out = swin_attention_block_pallas_v3(
         x.reshape(b, h, w, c),
-        params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
-        params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
+        None,  # LN affine pre-folded into wqkv/bq3 by _v3_kernel_weights
+        None,
         wqkv,
         bq3,
         wp,
@@ -442,8 +451,8 @@ def _whole_block_pallas_v4(
     )
     out = swin_block_pallas_v4(
         x.reshape(b, h, w, c),
-        params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
-        params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
+        None,  # LN affine pre-folded into wqkv/bq3 by _v3_kernel_weights
+        None,
         wqkv,
         bq3,
         wp,

@@ -459,8 +459,6 @@ def _attn_block_kernel_v3(
     shift: int,
     eps: float,
     x_ref,
-    ln_w_ref,
-    ln_b_ref,
     wqkv_ref,
     bq_ref,
     wp_ref,
@@ -486,6 +484,8 @@ def _attn_block_kernel_v3(
       transpose.
 
     bmw_ref is the (nW or 1, n, heads*n) "wide" additive bias+mask layout.
+    The LN affine is pre-folded into wqkv/bq by the caller
+    (models/htsat._v3_kernel_weights); the kernel only mean/var-normalizes.
     """
     kb, height, width, c = x_ref.shape
     n = window * window
@@ -500,12 +500,7 @@ def _attn_block_kernel_v3(
     xf = xin.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
-    xn_f32 = (
-        (xf - mu)
-        * jax.lax.rsqrt(var + jnp.float32(eps))
-        * ln_w_ref[:].astype(jnp.float32)
-        + ln_b_ref[:].astype(jnp.float32)
-    )
+    xn_f32 = (xf - mu) * jax.lax.rsqrt(var + jnp.float32(eps))
 
     x4 = xn_f32.reshape(kb, height, width, c)
     if shift:
@@ -526,14 +521,15 @@ def _attn_block_kernel_v3(
     k = y[:, c : 2 * c].reshape(g, n, c)
     v = y[:, 2 * c :].reshape(g, n, c)
 
-    # block-diagonal head mask (hn, c): row block i//n keeps head (i//n)'s
-    # lane range
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 0) // n
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 1) // d
-    mask = (row_head == col_head).astype(dt)
-
-    kw = jnp.concatenate([k] * heads, axis=1) * mask[None]
-    vw = jnp.concatenate([v] * heads, axis=1) * mask[None]
+    # per-head lane mask (heads, 1, c): head i keeps its own lane range;
+    # the broadcast-multiply + reshape builds the block-diagonal wide K/V
+    # in ONE fused pass (no concat-then-mask double materialization)
+    hm = (
+        jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 2) // d
+    ).astype(dt)
+    kw = (k[:, None] * hm[None]).reshape(g, hn, c)
+    vw = (v[:, None] * hm[None]).reshape(g, hn, c)
 
     s = jax.lax.dot_general(
         q,
@@ -544,8 +540,11 @@ def _attn_block_kernel_v3(
     if bmw_ref.shape[0] == 1:
         s = s + bmw_ref[0][None]
     else:
-        s = s + jnp.broadcast_to(
-            bmw_ref[:][None], (kb, bmw_ref.shape[0], n, hn)
+        # broadcast-add over the image axis without materializing the
+        # (kb, nW, n, hn) table (the explicit broadcast_to+reshape showed up
+        # as part of the shifted-block penalty at stages 0/2)
+        s = (
+            s.reshape(kb, bmw_ref.shape[0], n, hn) + bmw_ref[:][None]
         ).reshape(g, n, hn)
 
     m = jnp.max(s, axis=-1, keepdims=True)  # row constant: segment-exact
@@ -606,7 +605,7 @@ def _kb_for_v3(batch: int, height: int, width: int, c: int, heads: int, window: 
     jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
 )
 def _attn_block_call_v3(
-    x, ln_w, ln_b, wqkv, bq, wp, bp, bmw, heads, window, shift, eps, interpret
+    x, wqkv, bq, wp, bp, bmw, heads, window, shift, eps, interpret
 ):
     b, height, width, c = x.shape
     kb = _kb_for_v3(b, height, width, c, heads, window)
@@ -621,8 +620,6 @@ def _attn_block_call_v3(
             pl.BlockSpec(
                 (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
-            wspec(ln_w.shape),
-            wspec(ln_b.shape),
             wspec(wqkv.shape),
             wspec(bq.shape),
             wspec(wp.shape),
@@ -635,7 +632,18 @@ def _attn_block_call_v3(
         out_shape=jax.ShapeDtypeStruct((b, height, width, c), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, ln_w, ln_b, wqkv, bq, wp, bp, bmw)
+    )(x, wqkv, bq, wp, bp, bmw)
+
+
+def _fold_ln_affine(ln_w, ln_b, wqkv, bq3):
+    """Fold a LayerNorm affine into the fused qkv projection:
+    (xn*w + b) @ W == xn @ (w[:, None] * W) + b @ W (exact in exact
+    arithmetic) — the kernel then only mean/var-normalizes, saving two
+    vector passes over the full activation."""
+    wf = jnp.asarray(wqkv, jnp.float32)
+    folded_w = (jnp.asarray(ln_w, jnp.float32)[:, None] * wf).astype(wqkv.dtype)
+    folded_b = jnp.asarray(bq3, jnp.float32) + jnp.asarray(ln_b, jnp.float32) @ wf
+    return folded_w, folded_b
 
 
 def swin_attention_block_pallas_v3(
@@ -658,8 +666,12 @@ def swin_attention_block_pallas_v3(
     Same weight layout as v2 (wqkv (C, 3C) with scaled q, bq3 (3C,) with
     only the scaled q bias, wp (C, C), bp absorbing the value bias);
     bias_mask: (nW or 1, heads, n, n) — converted here to the kernel's wide
-    (nW, n, heads*n) layout.
+    (nW, n, heads*n) layout.  Pass ln_w=ln_b=None when the LN affine is
+    already folded into wqkv/bq3 (models/htsat._v3_kernel_weights does
+    this); otherwise it is folded here.
     """
+    if ln_w is not None:
+        wqkv, bq3 = _fold_ln_affine(ln_w, ln_b, wqkv, bq3)
     nw, h_, n, _ = bias_mask.shape
     bmw = jnp.asarray(bias_mask, jnp.float32).transpose(0, 2, 1, 3).reshape(
         nw, n, h_ * n
@@ -667,8 +679,6 @@ def swin_attention_block_pallas_v3(
     with _x32_scope():
         return _attn_block_call_v3(
             x,
-            ln_w,
-            ln_b,
             wqkv,
             jnp.asarray(bq3, jnp.float32),
             wp,
@@ -688,8 +698,6 @@ def _swin_block_kernel_v4(
     shift: int,
     eps: float,
     x_ref,
-    ln_w_ref,
-    ln_b_ref,
     wqkv_ref,
     bq_ref,
     wp_ref,
@@ -705,7 +713,8 @@ def _swin_block_kernel_v4(
 ):
     """WHOLE swin block (v3 attention half + LN2/MLP half) in one
     pallas_call: x is read from HBM once and the block output written once —
-    the attention residual never round-trips HBM between the halves."""
+    the attention residual never round-trips HBM between the halves.
+    The LN1 affine is pre-folded into wqkv/bq (see _fold_ln_affine)."""
     from .mlp import _erf_f32
 
     kb, height, width, c = x_ref.shape
@@ -721,12 +730,7 @@ def _swin_block_kernel_v4(
     xf = xin.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
-    xn_f32 = (
-        (xf - mu)
-        * jax.lax.rsqrt(var + jnp.float32(eps))
-        * ln_w_ref[:].astype(jnp.float32)
-        + ln_b_ref[:].astype(jnp.float32)
-    )
+    xn_f32 = (xf - mu) * jax.lax.rsqrt(var + jnp.float32(eps))
 
     x4 = xn_f32.reshape(kb, height, width, c)
     if shift:
@@ -747,12 +751,15 @@ def _swin_block_kernel_v4(
     k = y[:, c : 2 * c].reshape(g, n, c)
     v = y[:, 2 * c :].reshape(g, n, c)
 
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 0) // n
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (hn, c), 1) // d
-    mask = (row_head == col_head).astype(dt)
-
-    kw = jnp.concatenate([k] * heads, axis=1) * mask[None]
-    vw = jnp.concatenate([v] * heads, axis=1) * mask[None]
+    # per-head lane mask (heads, 1, c): head i keeps its own lane range;
+    # the broadcast-multiply + reshape builds the block-diagonal wide K/V
+    # in ONE fused pass (no concat-then-mask double materialization)
+    hm = (
+        jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 2) // d
+    ).astype(dt)
+    kw = (k[:, None] * hm[None]).reshape(g, hn, c)
+    vw = (v[:, None] * hm[None]).reshape(g, hn, c)
 
     s = jax.lax.dot_general(
         q,
@@ -763,8 +770,11 @@ def _swin_block_kernel_v4(
     if bmw_ref.shape[0] == 1:
         s = s + bmw_ref[0][None]
     else:
-        s = s + jnp.broadcast_to(
-            bmw_ref[:][None], (kb, bmw_ref.shape[0], n, hn)
+        # broadcast-add over the image axis without materializing the
+        # (kb, nW, n, hn) table (the explicit broadcast_to+reshape showed up
+        # as part of the shifted-block penalty at stages 0/2)
+        s = (
+            s.reshape(kb, bmw_ref.shape[0], n, hn) + bmw_ref[:][None]
         ).reshape(g, n, hn)
 
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -848,7 +858,7 @@ def _kb_for_v4(batch, height, width, c, heads, window) -> int:
     jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
 )
 def _swin_block_call_v4(
-    x, ln_w, ln_b, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2,
+    x, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2,
     heads, window, shift, eps, interpret,
 ):
     b, height, width, c = x.shape
@@ -864,8 +874,6 @@ def _swin_block_call_v4(
             pl.BlockSpec(
                 (kb, height, width, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
-            wspec(ln_w.shape),
-            wspec(ln_b.shape),
             wspec(wqkv.shape),
             wspec(bq.shape),
             wspec(wp.shape),
@@ -884,7 +892,7 @@ def _swin_block_call_v4(
         out_shape=jax.ShapeDtypeStruct((b, height, width, c), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, ln_w, ln_b, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2)
+    )(x, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2)
 
 
 def swin_block_pallas_v4(
@@ -909,7 +917,11 @@ def swin_block_pallas_v4(
     interpret: bool = False,
 ):
     """Whole swin block (v3 attention + MLP) in one kernel.  Attention
-    weight layout as in v3; w1: (C, 4C), w2: (4C, C) input-major."""
+    weight layout as in v3; w1: (C, 4C), w2: (4C, C) input-major.
+    ln_w/ln_b may be None when the LN1 affine is already folded into
+    wqkv/bq3 (models/htsat._v3_kernel_weights does this)."""
+    if ln_w is not None:
+        wqkv, bq3 = _fold_ln_affine(ln_w, ln_b, wqkv, bq3)
     nw, h_, n, _ = bias_mask.shape
     bmw = jnp.asarray(bias_mask, jnp.float32).transpose(0, 2, 1, 3).reshape(
         nw, n, h_ * n
@@ -917,8 +929,6 @@ def swin_block_pallas_v4(
     with _x32_scope():
         return _swin_block_call_v4(
             x,
-            ln_w,
-            ln_b,
             wqkv,
             jnp.asarray(bq3, jnp.float32),
             wp,
