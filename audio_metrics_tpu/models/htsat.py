@@ -603,13 +603,11 @@ def _swin_block(
     return x + y
 
 
-def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
+def _patch_merging_gather(x, params, prefix, cfg: HTSATConfig, resolution: int):
+    """Direct form (concat 2x2 neighborhood -> LN -> reduction linear);
+    kept as the parity oracle for the conv formulation below."""
     h = w = resolution
     b, _, c = x.shape
-    # Strided slices, not reshape/transpose: the equivalent
-    # reshape(b,h/2,2,w/2,2,c)+transpose measured SLOWER on v5e (merge 0 at
-    # B=64: 1.84 vs 1.22 ms) — XLA lowers the 2x2 strided gathers better
-    # than the minor-dims transpose.
     x = x.reshape(b, h, w, c)
     x = jnp.concatenate(
         [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
@@ -623,6 +621,67 @@ def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
         cfg.layer_norm_eps,
     )
     return _linear(x, params, f"{prefix}.reduction")
+
+
+def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
+    """Patch merging as ONE 2x2/stride-2 conv with the LayerNorm folded in.
+
+    The direct form (4 strided gathers -> concat -> LN -> linear) is
+    relayout-bound on TPU (merge 0 at B=64: 1.46 ms vs a ~0.1 ms matmul
+    floor; reshape+transpose measured even slower at 1.84).  Algebraically
+      LN(concat) @ W == rs * (concat @ (g*W)) - rs*mu * (g @ W) + b @ W
+    where mu/rs are the concat row's LN statistics — and ``concat @ (g*W)``
+    over 2x2 patches IS a stride-2 conv, which XLA lowers straight onto the
+    MXU with no materialized gather.  mu/var come from channel-mean passes
+    pooled over the 2x2 patch (the concat never exists).
+    """
+    h = w = resolution
+    b, _, c = x.shape
+    dt = x.dtype
+    x4 = x.reshape(b, h, w, c)
+
+    g = params[f"{prefix}.norm.weight"].astype(jnp.float32)
+    be = params[f"{prefix}.norm.bias"].astype(jnp.float32)
+    w_io = params[f"{prefix}.reduction.weight"].T.astype(jnp.float32)  # (4c, oc)
+    oc = w_io.shape[1]
+    wg = (g[:, None] * w_io).reshape(4, c, oc)
+    # concat block order j=[x00, x10, x01, x11] -> kernel (kh, kw) position
+    ker = jnp.stack(
+        [jnp.stack([wg[0], wg[2]], axis=0), jnp.stack([wg[1], wg[3]], axis=0)],
+        axis=0,
+    )  # (kh=2, kw=2, c, oc)
+    svec = g @ w_io  # (oc,)
+    tvec = be @ w_io
+
+    # LN stats of the 4c concat row == channel moments pooled over the patch
+    # (centered second pass: the raw E[x^2]-mu^2 form cancels in f32 when
+    # |mean| >> std, same reason data.batch_moments centers)
+    xf = x4.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=-1)
+    mu = 0.25 * (
+        m1[:, 0::2, 0::2] + m1[:, 1::2, 0::2] + m1[:, 0::2, 1::2] + m1[:, 1::2, 1::2]
+    )
+    h2, w2 = h // 2, w // 2
+    mu_up = jnp.broadcast_to(
+        mu[:, :, None, :, None], (b, h2, 2, w2, 2)
+    ).reshape(b, h, w)
+    xc = xf - mu_up[..., None]
+    m2 = jnp.mean(xc * xc, axis=-1)
+    var = 0.25 * (
+        m2[:, 0::2, 0::2] + m2[:, 1::2, 0::2] + m2[:, 0::2, 1::2] + m2[:, 1::2, 1::2]
+    )
+    rs = jax.lax.rsqrt(var + cfg.layer_norm_eps)
+
+    conv = jax.lax.conv_general_dilated(
+        x4.astype(dt),
+        ker.astype(dt),
+        (2, 2),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # (b, h/2, w/2, oc)
+    out = conv * rs[..., None] + (tvec - (mu * rs)[..., None] * svec)
+    return out.reshape(b, (h // 2) * (w // 2), oc).astype(dt)
 
 
 # ----------------------------------------------------------------------

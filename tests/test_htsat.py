@@ -115,3 +115,39 @@ def test_laion_key_conversion():
     assert "audio_projection.linear2.weight" in params
     # text tower dropped
     assert not any("text" in k for k in params)
+
+
+@pytest.mark.parametrize("res,c,dtype", [(64, 128, "float32"), (16, 512, "float32"), (64, 128, "bfloat16")])
+def test_patch_merging_conv_matches_gather(res, c, dtype):
+    """The conv-with-folded-LN patch merging must match the direct
+    concat->LN->linear form (the transformers ClapAudioPatchMerging math)."""
+    import jax.numpy as jnp
+    from audio_metrics_tpu.models.htsat import (
+        HTSAT_BASE,
+        _patch_merging,
+        _patch_merging_gather,
+    )
+
+    rng = np.random.default_rng(res + c)
+    prefix = "m"
+    params = {
+        f"{prefix}.norm.weight": jnp.asarray(
+            rng.normal(1.0, 0.2, 4 * c).astype(np.float32)
+        ),
+        f"{prefix}.norm.bias": jnp.asarray(
+            rng.normal(0.0, 0.2, 4 * c).astype(np.float32)
+        ),
+        f"{prefix}.reduction.weight": jnp.asarray(
+            rng.normal(0.0, 0.05, (2 * c, 4 * c)).astype(np.float32)
+        ),
+    }
+    # offset +3: nonzero mean stresses the centered-variance path
+    x = jnp.asarray(
+        (rng.normal(0.0, 1.0, (2, res * res, c)) + 3.0).astype(np.float32)
+    ).astype(dtype)
+    want = np.asarray(
+        _patch_merging_gather(x, params, prefix, HTSAT_BASE, res), np.float32
+    )
+    got = np.asarray(_patch_merging(x, params, prefix, HTSAT_BASE, res), np.float32)
+    tol = 5e-5 if dtype == "float32" else 0.15
+    np.testing.assert_allclose(got, want, atol=tol * np.abs(want).max())
