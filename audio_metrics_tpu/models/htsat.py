@@ -56,6 +56,14 @@ def _use_pallas_attention_v3() -> bool:
     )
 
 
+# 128-lane head-grouped score/context path inside the v3/v4 kernels
+# (ops/attention.py:_lane_groups_for): cuts the block-diagonal wide-K/V
+# build traffic AND the score/context MXU MACs by C/128 per stage (1x at
+# stage 0, 2x/4x/8x at stages 1/2/3).  Read once at import — toggling after
+# the first forward is ignored by the jit cache (AM_TPU_NO_PALLAS caveat).
+_ATTN_GROUPED = os.environ.get("AM_TPU_ATTN_NOGROUP", "") != "1"
+
+
 @dataclass(frozen=True)
 class HTSATConfig:
     spec_size: int = 256
@@ -430,6 +438,7 @@ def _attention_half_pallas_v3(
         window,
         shift,
         eps=cfg.layer_norm_eps,
+        grouped=_ATTN_GROUPED,
     )
     return out.reshape(b, h * w, c)
 
@@ -468,6 +477,7 @@ def _whole_block_pallas_v4(
         window,
         shift,
         eps=cfg.layer_norm_eps,
+        grouped=_ATTN_GROUPED,
         interpret=interpret,
     )
     return out.reshape(b, h * w, c)

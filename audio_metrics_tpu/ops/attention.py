@@ -453,47 +453,128 @@ def swin_attention_block_pallas_v2(
         )
 
 
-def _attn_block_kernel_v3(
+def _lane_groups_for(heads: int, d: int, grouped: bool) -> int:
+    """Number of 128-lane head groups for the grouped score/context path.
+
+    The v3 block-diagonal wide K/V spans ALL heads' lanes: (heads*n, C) with
+    only d/C nonzero density — at HTSAT-base stage 2 (heads=16, d=32, C=512)
+    that is 1/16 density, i.e. 16x wasted MXU MACs on the score and context
+    contractions and a C/128-times-larger VMEM build for kw/vw.  Packing
+    heads into groups of gh = 128/d (the MXU lane width) keeps every slice
+    128-lane-aligned while cutting both costs by C/128 (4x at stage 2, 2x at
+    stage 1, 8x at stage 3; stage 0 has C=128 so grouping is the v3 layout
+    already).  Softmax stays segment-exact per group (the per-group row max
+    is still a constant within each head's segment)."""
+    if not grouped or d > 128 or 128 % d:
+        return 1
+    gh = 128 // d
+    if heads % gh:
+        return 1
+    return heads // gh
+
+
+def _attn_windows_to_ctx(
+    heads: int, n: int, grouped: bool, g: int, q, k, v, bmw_ref, kb: int
+):
+    """Scores + segmented softmax + context for all heads of all windows.
+
+    q/k/v: (g, n, C) with heads laid out contiguously on the lane axis.
+    Returns the per-window context (g, n, C) f32 with each head's output in
+    its own lane range.  ``grouped`` selects the 128-lane head-group path
+    (see _lane_groups_for); groups == 1 reproduces the v3 all-heads layout.
+    """
+    c = q.shape[-1]
+    d = c // heads
+    dt = q.dtype
+    ngroups = _lane_groups_for(heads, d, grouped)
+    gh = heads // ngroups  # heads per group
+    gw = gh * d  # lanes per group (128 when grouped)
+    gn = gh * n
+
+    # per-head lane mask (gh, 1, gw): head i keeps its own lane range; the
+    # broadcast-multiply + reshape builds the block-diagonal wide K/V in ONE
+    # fused pass (no concat-then-mask double materialization)
+    hm = (
+        jax.lax.broadcasted_iota(jnp.int32, (gh, 1, gw), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (gh, 1, gw), 2) // d
+    ).astype(dt)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (gn, gh), 0) // n
+        == jax.lax.broadcasted_iota(jnp.int32, (gn, gh), 1)
+    ).astype(jnp.float32)
+
+    parts = []
+    for j in range(ngroups):
+        qg = q[:, :, j * gw : (j + 1) * gw]
+        kg = k[:, :, j * gw : (j + 1) * gw]
+        vg = v[:, :, j * gw : (j + 1) * gw]
+        kw = (kg[:, None] * hm[None]).reshape(g, gn, gw)
+        vw = (vg[:, None] * hm[None]).reshape(g, gn, gw)
+
+        s = jax.lax.dot_general(
+            qg,
+            kw,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (g, n, gn)
+        bg = bmw_ref[:, :, j * gn : (j + 1) * gn]
+        if bmw_ref.shape[0] == 1:
+            s = s + bg[0][None]
+        else:
+            # broadcast-add over the image axis without materializing the
+            # (kb, nW, n, gn) table (the explicit broadcast_to+reshape showed
+            # up as part of the shifted-block penalty at stages 0/2)
+            s = (
+                s.reshape(kb, bmw_ref.shape[0], n, gn) + bg[None]
+            ).reshape(g, n, gn)
+
+        m = jnp.max(s, axis=-1, keepdims=True)  # row constant: segment-exact
+        e = jnp.exp(s - m)
+        den = jax.lax.dot_general(
+            e, sel, dimension_numbers=(((2,), (0,)), ((), ()))
+        )  # (g, n, gh)
+        den_wide = jax.lax.dot_general(
+            den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
+        )  # (g, n, gn)
+        p = (e / den_wide).astype(dt)
+
+        parts.append(
+            jax.lax.dot_general(
+                p,
+                vw,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (g, n, gw): head h's context already in its own lane range
+        )
+    return parts[0] if ngroups == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def _attn_residual_rows(
     heads: int,
     window: int,
     shift: int,
     eps: float,
+    grouped: bool,
     x_ref,
     wqkv_ref,
     bq_ref,
     wp_ref,
     bp_ref,
     bmw_ref,
-    out_ref,
 ):
-    """All-heads-in-one-matmul variant for FEW-window stages.
+    """The attention half shared by the v3 and v4 kernels: LayerNorm
+    (affine pre-folded into wqkv/bq by the caller — the kernel only
+    mean/var-normalizes), shifted-window roll, window partition, fused qkv,
+    all-heads scores/softmax/context (optionally 128-lane head-grouped),
+    output projection, window reverse, and the residual add.
 
-    v1/v2 lose at the late stages because Mosaic executes their per-head
-    contractions as unrolled thin matmuls (d = 32 of 128 MXU lanes).  v3
-    eliminates the head loop entirely:
-
-    - K and V are tiled ``heads`` times along the sublane axis and masked
-      to a block-diagonal layout (``kw[i, ch] != 0`` iff ``ch`` belongs to
-      head ``i // n``), so ONE transpose-free NT contraction per window
-      computes every head's scores — (n, C) @ (heads*n, C)^T with full-lane
-      C contraction — and one more computes every head's context, with each
-      head landing in its own lane range (no lane slicing anywhere).
-    - Softmax is exact per head-segment: subtracting the whole-row max (a
-      per-row CONSTANT) preserves each segment's softmax exactly, and the
-      per-segment sums come from a 0/1 selector matmul, spread back by its
-      transpose.
-
-    bmw_ref is the (nW or 1, n, heads*n) "wide" additive bias+mask layout.
-    The LN affine is pre-folded into wqkv/bq by the caller
-    (models/htsat._v3_kernel_weights); the kernel only mean/var-normalizes.
-    """
+    Returns (xin_rows, res_rows_f32): the flattened input and the f32
+    residual-summed attention output, both (rows, C)."""
     kb, height, width, c = x_ref.shape
     n = window * window
     hb, wb = height // window, width // window
     g = kb * hb * wb
     rows = kb * height * width
-    d = c // heads
-    hn = heads * n
     dt = x_ref.dtype
 
     xin = x_ref[:].reshape(rows, c)
@@ -504,6 +585,8 @@ def _attn_block_kernel_v3(
 
     x4 = xn_f32.reshape(kb, height, width, c)
     if shift:
+        # pltpu.roll wants non-negative shifts (roll(-s) == roll(size - s))
+        # and 32-bit data, so roll before the bf16 cast
         x4 = pltpu.roll(x4, height - shift, 1)
         x4 = pltpu.roll(x4, width - shift, 2)
     x4 = x4.astype(dt)
@@ -521,52 +604,7 @@ def _attn_block_kernel_v3(
     k = y[:, c : 2 * c].reshape(g, n, c)
     v = y[:, 2 * c :].reshape(g, n, c)
 
-    # per-head lane mask (heads, 1, c): head i keeps its own lane range;
-    # the broadcast-multiply + reshape builds the block-diagonal wide K/V
-    # in ONE fused pass (no concat-then-mask double materialization)
-    hm = (
-        jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 2) // d
-    ).astype(dt)
-    kw = (k[:, None] * hm[None]).reshape(g, hn, c)
-    vw = (v[:, None] * hm[None]).reshape(g, hn, c)
-
-    s = jax.lax.dot_general(
-        q,
-        kw,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (g, n, hn)
-    if bmw_ref.shape[0] == 1:
-        s = s + bmw_ref[0][None]
-    else:
-        # broadcast-add over the image axis without materializing the
-        # (kb, nW, n, hn) table (the explicit broadcast_to+reshape showed up
-        # as part of the shifted-block penalty at stages 0/2)
-        s = (
-            s.reshape(kb, bmw_ref.shape[0], n, hn) + bmw_ref[:][None]
-        ).reshape(g, n, hn)
-
-    m = jnp.max(s, axis=-1, keepdims=True)  # row constant: segment-exact
-    e = jnp.exp(s - m)
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 0) // n
-        == jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 1)
-    ).astype(jnp.float32)
-    den = jax.lax.dot_general(
-        e, sel, dimension_numbers=(((2,), (0,)), ((), ()))
-    )  # (g, n, heads)
-    den_wide = jax.lax.dot_general(
-        den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
-    )  # (g, n, hn)
-    p = (e / den_wide).astype(dt)
-
-    ctx = jax.lax.dot_general(
-        p,
-        vw,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (g, n, c): head h's context already in its own lane range
+    ctx = _attn_windows_to_ctx(heads, n, grouped, g, q, k, v, bmw_ref, kb)
     ow = (
         jnp.dot(
             ctx.reshape(g * n, c).astype(dt),
@@ -583,18 +621,66 @@ def _attn_block_kernel_v3(
     if shift:
         o4 = pltpu.roll(o4, shift, 1)
         o4 = pltpu.roll(o4, shift, 2)
-    out_ref[:] = (
-        o4.reshape(rows, c) + xin.astype(jnp.float32)
-    ).astype(dt).reshape(kb, height, width, c)
+    return xin, o4.reshape(rows, c) + xin.astype(jnp.float32)
 
 
-def _kb_for_v3(batch: int, height: int, width: int, c: int, heads: int, window: int) -> int:
+def _attn_block_kernel_v3(
+    heads: int,
+    window: int,
+    shift: int,
+    eps: float,
+    grouped: bool,
+    x_ref,
+    wqkv_ref,
+    bq_ref,
+    wp_ref,
+    bp_ref,
+    bmw_ref,
+    out_ref,
+):
+    """All-heads-in-one-matmul variant for FEW-window stages.
+
+    v1/v2 lose at the late stages because Mosaic executes their per-head
+    contractions as unrolled thin matmuls (d = 32 of 128 MXU lanes).  v3
+    eliminates the head loop entirely:
+
+    - K and V are tiled along the sublane axis and masked to a
+      block-diagonal layout (``kw[i, ch] != 0`` iff ``ch`` belongs to head
+      ``i // n``), so ONE transpose-free NT contraction per window (or per
+      128-lane head group, see _lane_groups_for) computes the heads' scores
+      and one more computes their context, with each head landing in its own
+      lane range (no sub-128 lane slicing anywhere).
+    - Softmax is exact per head-segment: subtracting the whole-row max (a
+      per-row CONSTANT) preserves each segment's softmax exactly, and the
+      per-segment sums come from a 0/1 selector matmul, spread back by its
+      transpose.
+
+    bmw_ref is the (nW or 1, n, heads*n) "wide" additive bias+mask layout.
+    The LN affine is pre-folded into wqkv/bq by the caller
+    (models/htsat._v3_kernel_weights); the kernel only mean/var-normalizes.
+    """
+    kb, height, width, c = x_ref.shape
+    dt = x_ref.dtype
+    _, res = _attn_residual_rows(
+        heads, window, shift, eps, grouped,
+        x_ref, wqkv_ref, bq_ref, wp_ref, bp_ref, bmw_ref,
+    )
+    out_ref[:] = res.astype(dt).reshape(kb, height, width, c)
+
+
+def _kb_for_v3(
+    batch: int, height: int, width: int, c: int, heads: int, window: int,
+    grouped: bool = False,
+) -> int:
     """Largest power-of-2 image count whose v3 VMEM footprint stays ~<=48MB
-    (kw/vw tiles dominate: 2 * heads*n * C * 2B per window)."""
+    (kw/vw tiles dominate: 2 * heads*n * gw * 2B per window, where gw is the
+    head-group lane width — C ungrouped, 128 grouped)."""
     n = window * window
     hn = heads * n
+    d = c // heads
+    gw = c // _lane_groups_for(heads, d, grouped)
     nw = (height // window) * (width // window)
-    per_image = nw * (2 * hn * c * 2 + n * hn * 10) + height * width * c * 4
+    per_image = nw * (2 * hn * gw * 2 + n * hn * 10) + height * width * c * 4
     kb = 1
     while kb * 2 <= batch and batch % (kb * 2) == 0 and (kb * 2) * per_image <= 48 * 1024 * 1024:
         kb *= 2
@@ -602,19 +688,20 @@ def _kb_for_v3(batch: int, height: int, width: int, c: int, heads: int, window: 
 
 
 @partial(
-    jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
+    jax.jit,
+    static_argnames=("heads", "window", "shift", "eps", "grouped", "interpret"),
 )
 def _attn_block_call_v3(
-    x, wqkv, bq, wp, bp, bmw, heads, window, shift, eps, interpret
+    x, wqkv, bq, wp, bp, bmw, heads, window, shift, eps, grouped, interpret
 ):
     b, height, width, c = x.shape
-    kb = _kb_for_v3(b, height, width, c, heads, window)
+    kb = _kb_for_v3(b, height, width, c, heads, window, grouped)
     n = window * window
     wspec = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_attn_block_kernel_v3, heads, window, shift, eps),
+        partial(_attn_block_kernel_v3, heads, window, shift, eps, grouped),
         grid=(b // kb,),
         in_specs=[
             pl.BlockSpec(
@@ -659,6 +746,7 @@ def swin_attention_block_pallas_v3(
     window: int,
     shift: int,
     eps: float = 1e-5,
+    grouped: bool = False,
     interpret: bool = False,
 ):
     """All-heads-in-one-matmul fused attention half (_attn_block_kernel_v3).
@@ -668,7 +756,8 @@ def swin_attention_block_pallas_v3(
     bias_mask: (nW or 1, heads, n, n) — converted here to the kernel's wide
     (nW, n, heads*n) layout.  Pass ln_w=ln_b=None when the LN affine is
     already folded into wqkv/bq3 (models/htsat._v3_kernel_weights does
-    this); otherwise it is folded here.
+    this); otherwise it is folded here.  ``grouped`` enables the 128-lane
+    head-group score/context path (see _lane_groups_for).
     """
     if ln_w is not None:
         wqkv, bq3 = _fold_ln_affine(ln_w, ln_b, wqkv, bq3)
@@ -688,6 +777,7 @@ def swin_attention_block_pallas_v3(
             window,
             int(shift),
             float(eps),
+            bool(grouped),
             interpret,
         )
 
@@ -697,6 +787,7 @@ def _swin_block_kernel_v4(
     window: int,
     shift: int,
     eps: float,
+    grouped: bool,
     x_ref,
     wqkv_ref,
     bq_ref,
@@ -718,100 +809,11 @@ def _swin_block_kernel_v4(
     from .mlp import _erf_f32
 
     kb, height, width, c = x_ref.shape
-    n = window * window
-    hb, wb = height // window, width // window
-    g = kb * hb * wb
-    rows = kb * height * width
-    d = c // heads
-    hn = heads * n
     dt = x_ref.dtype
-
-    xin = x_ref[:].reshape(rows, c)
-    xf = xin.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
-    xn_f32 = (xf - mu) * jax.lax.rsqrt(var + jnp.float32(eps))
-
-    x4 = xn_f32.reshape(kb, height, width, c)
-    if shift:
-        x4 = pltpu.roll(x4, height - shift, 1)
-        x4 = pltpu.roll(x4, width - shift, 2)
-    x4 = x4.astype(dt)
-    xw = (
-        x4.reshape(kb, hb, window, wb, window, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(g * n, c)
-    )
-
-    y = (
-        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
-        + bq_ref[:].astype(jnp.float32)
-    ).astype(dt)
-    q = y[:, :c].reshape(g, n, c)
-    k = y[:, c : 2 * c].reshape(g, n, c)
-    v = y[:, 2 * c :].reshape(g, n, c)
-
-    # per-head lane mask (heads, 1, c): head i keeps its own lane range;
-    # the broadcast-multiply + reshape builds the block-diagonal wide K/V
-    # in ONE fused pass (no concat-then-mask double materialization)
-    hm = (
-        jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 2) // d
-    ).astype(dt)
-    kw = (k[:, None] * hm[None]).reshape(g, hn, c)
-    vw = (v[:, None] * hm[None]).reshape(g, hn, c)
-
-    s = jax.lax.dot_general(
-        q,
-        kw,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if bmw_ref.shape[0] == 1:
-        s = s + bmw_ref[0][None]
-    else:
-        # broadcast-add over the image axis without materializing the
-        # (kb, nW, n, hn) table (the explicit broadcast_to+reshape showed up
-        # as part of the shifted-block penalty at stages 0/2)
-        s = (
-            s.reshape(kb, bmw_ref.shape[0], n, hn) + bmw_ref[:][None]
-        ).reshape(g, n, hn)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 0) // n
-        == jax.lax.broadcasted_iota(jnp.int32, (hn, heads), 1)
-    ).astype(jnp.float32)
-    den = jax.lax.dot_general(e, sel, dimension_numbers=(((2,), (0,)), ((), ())))
-    den_wide = jax.lax.dot_general(
-        den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
-    )
-    p = (e / den_wide).astype(dt)
-
-    ctx = jax.lax.dot_general(
-        p,
-        vw,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    ow = (
-        jnp.dot(
-            ctx.reshape(g * n, c).astype(dt),
-            wp_ref[:],
-            preferred_element_type=jnp.float32,
-        )
-        + bp_ref[:].astype(jnp.float32)
-    )
-    o4 = (
-        ow.reshape(kb, hb, wb, window, window, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(kb, height, width, c)
-    )
-    if shift:
-        o4 = pltpu.roll(o4, shift, 1)
-        o4 = pltpu.roll(o4, shift, 2)
-    res = o4.reshape(rows, c) + xin.astype(jnp.float32)  # f32 residual
+    _, res = _attn_residual_rows(
+        heads, window, shift, eps, grouped,
+        x_ref, wqkv_ref, bq_ref, wp_ref, bp_ref, bmw_ref,
+    )  # f32 residual
 
     # MLP half: LN2 + fc1 + exact-GELU(erf poly) + fc2 + residual
     mu2 = jnp.mean(res, axis=-1, keepdims=True)
@@ -834,13 +836,15 @@ def _swin_block_kernel_v4(
     out_ref[:] = (res + h2).astype(dt).reshape(kb, height, width, c)
 
 
-def _kb_for_v4(batch, height, width, c, heads, window) -> int:
+def _kb_for_v4(batch, height, width, c, heads, window, grouped=False) -> int:
     """v3 footprint + the MLP intermediates (rows x 4C f32)."""
     n = window * window
     hn = heads * n
+    d = c // heads
+    gw = c // _lane_groups_for(heads, d, grouped)
     nw = (height // window) * (width // window)
     per_image = (
-        nw * (2 * hn * c * 2 + n * hn * 10)
+        nw * (2 * hn * gw * 2 + n * hn * 10)
         + height * width * c * 4
         + height * width * 4 * c * 6
     )
@@ -855,20 +859,21 @@ def _kb_for_v4(batch, height, width, c, heads, window) -> int:
 
 
 @partial(
-    jax.jit, static_argnames=("heads", "window", "shift", "eps", "interpret")
+    jax.jit,
+    static_argnames=("heads", "window", "shift", "eps", "grouped", "interpret"),
 )
 def _swin_block_call_v4(
     x, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2,
-    heads, window, shift, eps, interpret,
+    heads, window, shift, eps, grouped, interpret,
 ):
     b, height, width, c = x.shape
-    kb = _kb_for_v4(b, height, width, c, heads, window)
+    kb = _kb_for_v4(b, height, width, c, heads, window, grouped)
     n = window * window
     wspec = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_swin_block_kernel_v4, heads, window, shift, eps),
+        partial(_swin_block_kernel_v4, heads, window, shift, eps, grouped),
         grid=(b // kb,),
         in_specs=[
             pl.BlockSpec(
@@ -914,12 +919,14 @@ def swin_block_pallas_v4(
     window: int,
     shift: int,
     eps: float = 1e-5,
+    grouped: bool = False,
     interpret: bool = False,
 ):
     """Whole swin block (v3 attention + MLP) in one kernel.  Attention
     weight layout as in v3; w1: (C, 4C), w2: (4C, C) input-major.
     ln_w/ln_b may be None when the LN1 affine is already folded into
-    wqkv/bq3 (models/htsat._v3_kernel_weights does this)."""
+    wqkv/bq3 (models/htsat._v3_kernel_weights does this).  ``grouped``
+    enables the 128-lane head-group score/context path."""
     if ln_w is not None:
         wqkv, bq3 = _fold_ln_affine(ln_w, ln_b, wqkv, bq3)
     nw, h_, n, _ = bias_mask.shape
@@ -944,5 +951,6 @@ def swin_block_pallas_v4(
             window,
             int(shift),
             float(eps),
+            bool(grouped),
             interpret,
         )

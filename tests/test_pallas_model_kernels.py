@@ -527,3 +527,144 @@ def test_wired_v4_helper_matches_xla(stage, shift):
         x, params, prefix, cfg, res, shift, heads, window, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+@pytest.mark.parametrize("stage,shift", [(0, 4), (1, 4), (2, 0), (2, 4), (3, 0)])
+def test_attention_v3_grouped_matches_ungrouped(stage, shift):
+    """The 128-lane head-grouped score/context path must match the
+    all-heads v3 layout exactly up to matmul summation order (the group
+    slices are 128-lane-aligned and softmax stays segment-exact per group;
+    stage 0 has C=128 so grouped degenerates to the v3 layout there)."""
+    from audio_metrics_tpu.ops.attention import (
+        _lane_groups_for,
+        swin_attention_block_pallas_v3,
+    )
+
+    rng = np.random.default_rng(23 * stage + shift)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = min(cfg.window_size, res)
+    if res <= window:
+        shift = 0
+    n = window * window
+    d = c // heads
+    if stage > 0:
+        assert _lane_groups_for(heads, d, True) == c // 128
+    pre = f"audio_encoder.layers.{stage}.blocks.0.attention"
+    scale = 1.0 / np.sqrt(d)
+    wqkv = jnp.concatenate(
+        [
+            params[f"{pre}.self.query.weight"].T * scale,
+            params[f"{pre}.self.key.weight"].T,
+            params[f"{pre}.self.value.weight"].T,
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    bq3 = jnp.concatenate(
+        [params[f"{pre}.self.query.bias"] * scale, jnp.zeros(2 * c)]
+    ).astype(jnp.float32)
+    wp = params[f"{pre}.output.dense.weight"].T.astype(jnp.float32)
+    wp_h = params[f"{pre}.output.dense.weight"].T.reshape(heads, d, c)
+    bv = params[f"{pre}.self.value.bias"].reshape(heads, d)
+    bp = (
+        params[f"{pre}.output.dense.bias"]
+        + jnp.einsum("hd,hdc->c", bv, wp_h.astype(jnp.float32))
+    ).astype(jnp.float32)
+    table = params[f"{pre}.self.relative_position_bias_table"].astype(jnp.float32)
+    idx = _relative_position_index(window).reshape(-1)
+    bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+    bm = bias[None]
+    if shift:
+        bm = bm + jnp.asarray(_shift_attn_mask(res, res, window, shift))[:, None]
+
+    prefix = f"audio_encoder.layers.{stage}.blocks.0"
+    ln_w = params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32)
+    ln_b = params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, res, res, c)).astype(np.float32))
+    base = swin_attention_block_pallas_v3(
+        x, ln_w, ln_b, wqkv, bq3, wp, bp, bm,
+        heads=heads, window=window, shift=shift, grouped=False, interpret=True,
+    )
+    grp = swin_attention_block_pallas_v3(
+        x, ln_w, ln_b, wqkv, bq3, wp, bp, bm,
+        heads=heads, window=window, shift=shift, grouped=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(grp), np.asarray(base), atol=5e-5)
+
+
+@pytest.mark.parametrize("stage,shift", [(2, 0), (2, 4), (3, 0)])
+def test_swin_block_v4_grouped_matches_xla(stage, shift):
+    """The v4 whole-block kernel with the head-grouped attention path must
+    still match the XLA _swin_block end to end."""
+    from audio_metrics_tpu.ops.attention import swin_block_pallas_v4
+    from audio_metrics_tpu.models.htsat import _swin_block
+
+    rng = np.random.default_rng(31 * stage + shift)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = min(cfg.window_size, res)
+    if res <= window:
+        shift = 0
+    n = window * window
+    d = c // heads
+    prefix = f"audio_encoder.layers.{stage}.blocks.0"
+    pre = f"{prefix}.attention"
+    B = 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, c)).astype(np.float32))
+    want = _swin_block(x, params, prefix, cfg, res, shift, heads)
+
+    scale = 1.0 / np.sqrt(d)
+    wqkv = jnp.concatenate(
+        [
+            params[f"{pre}.self.query.weight"].T * scale,
+            params[f"{pre}.self.key.weight"].T,
+            params[f"{pre}.self.value.weight"].T,
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    bq3 = jnp.concatenate(
+        [params[f"{pre}.self.query.bias"] * scale, jnp.zeros(2 * c)]
+    ).astype(jnp.float32)
+    wp = params[f"{pre}.output.dense.weight"].T.astype(jnp.float32)
+    wp_h = params[f"{pre}.output.dense.weight"].T.reshape(heads, d, c)
+    bv = params[f"{pre}.self.value.bias"].reshape(heads, d)
+    bp = (
+        params[f"{pre}.output.dense.bias"]
+        + jnp.einsum("hd,hdc->c", bv, wp_h.astype(jnp.float32))
+    ).astype(jnp.float32)
+    table = params[f"{pre}.self.relative_position_bias_table"].astype(jnp.float32)
+    idx = _relative_position_index(window).reshape(-1)
+    bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+    bm = bias[None]
+    if shift:
+        bm = bm + jnp.asarray(_shift_attn_mask(res, res, window, shift))[:, None]
+
+    got = swin_block_pallas_v4(
+        x.reshape(B, res, res, c),
+        params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
+        wqkv, bq3, wp, bp, bm,
+        params[f"{prefix}.layernorm_after.weight"].astype(jnp.float32),
+        params[f"{prefix}.layernorm_after.bias"].astype(jnp.float32),
+        params[f"{prefix}.intermediate.dense.weight"].T.astype(jnp.float32),
+        params[f"{prefix}.intermediate.dense.bias"].astype(jnp.float32),
+        params[f"{prefix}.output.dense.weight"].T.astype(jnp.float32),
+        params[f"{prefix}.output.dense.bias"].astype(jnp.float32),
+        heads, window, shift, eps=cfg.layer_norm_eps, grouped=True,
+        interpret=True,
+    ).reshape(B, res * res, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
