@@ -563,10 +563,12 @@ def _attn_residual_rows(
     bmw_ref,
 ):
     """The attention half shared by the v3 and v4 kernels: LayerNorm
-    (affine pre-folded into wqkv/bq by the caller — the kernel only
-    mean/var-normalizes), shifted-window roll, window partition, fused qkv,
-    all-heads scores/softmax/context (optionally 128-lane head-grouped),
-    output projection, window reverse, and the residual add.
+    (affine pre-folded into wqkv/bq by the caller; the mean/var normalize
+    itself is folded through the qkv matmul as a per-row scale plus rank-1
+    correction), shifted-window roll (on raw 16-bit data), window
+    partition, fused qkv, all-heads scores/softmax/context (optionally
+    128-lane head-grouped), output projection, window reverse, and the
+    residual add.
 
     Returns (xin_rows, res_rows_f32): the flattened input and the f32
     residual-summed attention output, both (rows, C)."""
@@ -578,26 +580,39 @@ def _attn_residual_rows(
     dt = x_ref.dtype
 
     xin = x_ref[:].reshape(rows, c)
-    xf = xin.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
-    xn_f32 = (xf - mu) * jax.lax.rsqrt(var + jnp.float32(eps))
 
-    x4 = xn_f32.reshape(kb, height, width, c)
+    # LN folded THROUGH the qkv matmul: LN(x)@W == rs*(x@W) - (rs*mu)*(1@W)
+    # (per-row scalars commute with the contraction; same identity as the
+    # patch-merge conv fold).  The normalized activation tensor is never
+    # materialized, and the shifted-window rolls run on the raw 16-bit data
+    # via a paired-lane int32 bitcast (pltpu.roll wants 32-bit data; packing
+    # halves the w axis, so the w roll moves (width-shift)/2 pairs — shifts
+    # here are even).  mu/rs are computed from the window-transposed rows,
+    # which is the same per-row reduction after a row permutation.
+    x4 = xin.reshape(kb, height, width, c)
     if shift:
-        # pltpu.roll wants non-negative shifts (roll(-s) == roll(size - s))
-        # and 32-bit data, so roll before the bf16 cast
-        x4 = pltpu.roll(x4, height - shift, 1)
-        x4 = pltpu.roll(x4, width - shift, 2)
-    x4 = x4.astype(dt)
+        if dt == jnp.bfloat16 and width % 2 == 0 and shift % 2 == 0:
+            xi = pltpu.bitcast(x4, jnp.int32)
+            xi = pltpu.roll(xi, height - shift, 1)
+            xi = pltpu.roll(xi, (width - shift) // 2, 2)
+            x4 = pltpu.bitcast(xi, dt)
+        else:
+            x4 = pltpu.roll(x4.astype(jnp.float32), height - shift, 1)
+            x4 = pltpu.roll(x4, width - shift, 2).astype(dt)
     xw = (
         x4.reshape(kb, hb, window, wb, window, c)
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(g * n, c)
     )
+    xwf = xw.astype(jnp.float32)
+    mu = jnp.mean(xwf, axis=-1, keepdims=True)
+    var = jnp.mean((xwf - mu) * (xwf - mu), axis=-1, keepdims=True)
+    rs = jax.lax.rsqrt(var + jnp.float32(eps))
+    csum = jnp.sum(wqkv_ref[:].astype(jnp.float32), axis=0)  # (3c,) == 1@W
 
     y = (
-        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32) * rs
+        - (rs * mu) * csum[None, :]
         + bq_ref[:].astype(jnp.float32)
     ).astype(dt)
     q = y[:, :c].reshape(g, n, c)

@@ -668,3 +668,67 @@ def test_swin_block_v4_grouped_matches_xla(stage, shift):
         interpret=True,
     ).reshape(B, res * res, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+@pytest.mark.parametrize("stage", [0, 1])
+def test_attention_v3_bf16_bitcast_roll(stage):
+    """The shifted-window roll on bf16 inputs goes through a paired-lane
+    int32 bitcast (pltpu.roll wants 32-bit data); a packing/shift bug would
+    misalign whole windows (O(1) errors everywhere), so a loose bf16
+    tolerance against the f32 kernel discriminates cleanly."""
+    from audio_metrics_tpu.ops.attention import swin_attention_block_pallas_v3
+
+    shift = 4
+    rng = np.random.default_rng(17 + stage)
+    params = init_params(cfg, seed=0)
+    for k in list(params):
+        if k.endswith(".bias") or "bias_table" in k:
+            params[k] = rng.normal(scale=0.5, size=params[k].shape).astype(np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+
+    res = cfg.grid_size // 2**stage
+    c = cfg.embed_dim * 2**stage
+    heads = cfg.num_heads[stage]
+    window = min(cfg.window_size, res)
+    n = window * window
+    d = c // heads
+    pre = f"audio_encoder.layers.{stage}.blocks.0.attention"
+    scale = 1.0 / np.sqrt(d)
+    wqkv = jnp.concatenate(
+        [
+            params[f"{pre}.self.query.weight"].T * scale,
+            params[f"{pre}.self.key.weight"].T,
+            params[f"{pre}.self.value.weight"].T,
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    bq3 = jnp.concatenate(
+        [params[f"{pre}.self.query.bias"] * scale, jnp.zeros(2 * c)]
+    ).astype(jnp.float32)
+    wp = params[f"{pre}.output.dense.weight"].T.astype(jnp.float32)
+    wp_h = params[f"{pre}.output.dense.weight"].T.reshape(heads, d, c)
+    bv = params[f"{pre}.self.value.bias"].reshape(heads, d)
+    bp = (
+        params[f"{pre}.output.dense.bias"]
+        + jnp.einsum("hd,hdc->c", bv, wp_h.astype(jnp.float32))
+    ).astype(jnp.float32)
+    table = params[f"{pre}.self.relative_position_bias_table"].astype(jnp.float32)
+    idx = _relative_position_index(window).reshape(-1)
+    bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+    bm = bias[None] + jnp.asarray(
+        _shift_attn_mask(res, res, window, shift)
+    )[:, None]
+
+    prefix = f"audio_encoder.layers.{stage}.blocks.0"
+    ln_w = params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32)
+    ln_b = params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, res, res, c)).astype(np.float32))
+    kw = dict(heads=heads, window=window, shift=shift, interpret=True)
+    want = swin_attention_block_pallas_v3(
+        x, ln_w, ln_b, wqkv, bq3, wp, bp, bm, **kw
+    )
+    got = swin_attention_block_pallas_v3(
+        x.astype(jnp.bfloat16), ln_w, ln_b, wqkv, bq3, wp, bp, bm, **kw
+    )
+    err = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(want)))
+    assert err < 0.25, err
