@@ -528,15 +528,23 @@ def _attn_windows_to_ctx(
                 s.reshape(kb, bmw_ref.shape[0], n, gn) + bg[None]
             ).reshape(g, n, gn)
 
-        m = jnp.max(s, axis=-1, keepdims=True)  # row constant: segment-exact
-        e = jnp.exp(s - m)
+        # Reduce-free softmax: the row-max shift cancels in the softmax
+        # ratio, so skipping it is exact as long as f32 exp stays finite —
+        # clamping s to [-80, 80] guarantees that (e^80 * n < f32 max,
+        # 64*e^-80 > 0 so the segment sums never hit 0/inf) and only
+        # engages on pathological inputs (LN'd activations give |s| <~ 30).
+        # The wide divide becomes a reciprocal on the NARROW (g, n, gh)
+        # segment sums spread by the selector matmul.  The cross-lane max
+        # reduce + wide divide were measured as THE stage-0 cost
+        # (scripts/probe_stage0.py: softmax +1.11 ms of the 2.2 ms block).
+        e = jnp.exp(jnp.clip(s, -80.0, 80.0))
         den = jax.lax.dot_general(
             e, sel, dimension_numbers=(((2,), (0,)), ((), ()))
         )  # (g, n, gh)
-        den_wide = jax.lax.dot_general(
-            den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
+        rw = jax.lax.dot_general(
+            1.0 / den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
         )  # (g, n, gn)
-        p = (e / den_wide).astype(dt)
+        p = (e * rw).astype(dt)
 
         parts.append(
             jax.lax.dot_general(
