@@ -59,14 +59,16 @@ def _kernel(heads, window, shift, eps, stop, *refs):
     dt = x_ref.dtype
 
     def emit(t2d):
-        """Write a slice of the intermediate into the fixed output shape —
-        keeps the variant's ops live (op-level DCE can't drop a partially
-        read matmul/multiply) without any scalar reductions, which Mosaic
-        failed to legalize here (func.return error)."""
+        """Write a lane-broadcast slice of the intermediate into the fixed
+        output shape — keeps the variant's ops live (op-level DCE can't
+        drop a partially read matmul/multiply), works for any intermediate
+        wider/narrower than c, and adds the same (rows, c) write that every
+        other variant pays."""
+        r = t2d[: kb * height * width, :1].astype(jnp.float32)
         out_ref[:] = (
-            t2d[: kb * height * width, :c].astype(dt).reshape(
-                kb, height, width, c
-            )
+            jnp.broadcast_to(r, (kb * height * width, c))
+            .astype(dt)
+            .reshape(kb, height, width, c)
         )
 
     xin = x_ref[:].reshape(rows, c)
@@ -137,15 +139,15 @@ def _kernel(heads, window, shift, eps, stop, *refs):
             )
         if stop == "scores":
             return emit(s.reshape(g * n, gn))
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        # production (reduce-free) softmax — keep in sync with attention.py
+        e = jnp.exp(jnp.clip(s, -80.0, 80.0))
         den = jax.lax.dot_general(
             e, sel, dimension_numbers=(((2,), (0,)), ((), ()))
         )
-        den_wide = jax.lax.dot_general(
-            den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
+        rw = jax.lax.dot_general(
+            1.0 / den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
         )
-        p = (e / den_wide).astype(dt)
+        p = (e * rw).astype(dt)
         if stop == "softmax":
             return emit(p.reshape(g * n, gn))
         parts.append(
@@ -240,7 +242,8 @@ def main():
     n = window * window
     nw = (res // window) ** 2
     gh = min(heads, 128 // (c // heads))
-    gn = gh * n
+    gn = gh * n  # one group's wide width; bmw carries ALL heads (hn wide)
+    hn = heads * n
 
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
@@ -250,7 +253,7 @@ def main():
     wp = jnp.asarray(0.05 * rng.normal(size=(c, c)), dt)
     bp = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
     nbm = nw if shift else 1
-    bmw = jnp.asarray(rng.normal(size=(nbm, n, gn)), jnp.float32)
+    bmw = jnp.asarray(rng.normal(size=(nbm, n, hn)), jnp.float32)
 
     prev = 0.0
     for stop in STOPS:
