@@ -484,17 +484,22 @@ def _whole_block_pallas_v4(
 
 
 # Per-stage v4 dispatch: comma list of {stage}{u|s} entries (u = unshifted
-# blocks, s = shifted).  Measured v5e B=64: full-forward A/B
-# (scripts/ab_forward.py, 30-iter loop) gives 2u,2s 22.87 ms vs 2u 23.44 /
-# 2s 23.67 / none 23.79; per-block, stage-2 unshifted is 1.01 -> 0.77.
-# Stage 0/1/3 entries LOSE (1u 23.90, 1s 24.10; stages 0/3 lost in the
-# earlier global-v4 A/B — the whole-block kernel serializes what XLA
-# overlaps there), so the default is "2u,2s".  Read once at import —
+# blocks, s = shifted).  Re-swept after the reduce-free softmax + head
+# grouping changed the overlap economics (v5e full-forward A/B,
+# scripts/ab_forward.py 30-iter): 2u,2s,0u,0s,1u,1s gives 19.68 ms at B=64
+# (tie with 2u,2s,0u,0s 19.62 / 2u,2s 20.19) and the best B=128 number,
+# 36.72 ms (18.4 ms/64 clips).  Stage-3 entries still lose (2u,2s,3u
+# 20.58).  Pre-softmax-fix the stage-0/1 entries LOST (1u 23.90, 1s 24.10
+# vs 2u,2s 22.87) — the whole-block kernel serialized VPU work that XLA
+# overlapped; with the softmax reduced to clamped-exp + selector matmuls
+# there is little left to overlap and fusion wins.  Read once at import —
 # toggling after the first forward would be silently ignored by the jit
 # cache (same caveat as AM_TPU_NO_PALLAS).
 _V4_STAGES = frozenset(
     s.strip()
-    for s in os.environ.get("AM_TPU_V4_STAGES", "2u,2s").split(",")
+    for s in os.environ.get(
+        "AM_TPU_V4_STAGES", "2u,2s,0u,0s,1u,1s"
+    ).split(",")
     if s.strip()
 )
 

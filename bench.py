@@ -34,9 +34,10 @@ os.environ.setdefault("AM_TPU_COMPILE_CACHE", "1")
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "2048"))
 N_CLIPS_HOST = int(os.environ.get("BENCH_CLIPS_HOST", "128"))
 BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
-# CLAP's forward amortizes best at B=64 on v5e (2x35.3 ms vs 77.2 at 128);
-# the much smaller VGGish net wants the bigger batch
-_DEFAULT_BATCH = "128" if BENCH_MODE == "vggish" else "64"
+# B=128 amortizes best for BOTH nets on v5e since the reduce-free-softmax
+# + v4-fusion round (CLAP forward 36.7 ms/128 = 18.4/64 vs 19.7 at B=64;
+# earlier kernels favored 64: 2x35.3 vs 77.2)
+_DEFAULT_BATCH = "128"
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH))
 if BENCH_MODE == "vggish" and "BENCH_CLIPS" not in os.environ:
     N_CLIPS = 8192  # VGGish evaluates 2048 clips in ~0.3 s; a bigger set

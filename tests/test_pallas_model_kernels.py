@@ -499,12 +499,14 @@ def test_swin_block_v4_matches_xla(stage, shift):
     ).reshape(B, res * res, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
-@pytest.mark.parametrize("stage,shift", [(2, 0), (2, 4)])
+@pytest.mark.parametrize(
+    "stage,shift", [(0, 0), (0, 4), (1, 0), (1, 4), (2, 0), (2, 4)]
+)
 def test_wired_v4_helper_matches_xla(stage, shift):
     """The model-side v4 wiring (_whole_block_pallas_v4: shared
     _v3_kernel_weights prep + swin_block_pallas_v4) must match the XLA
     _swin_block path it replaces at the stages the dispatch table enables
-    (default AM_TPU_V4_STAGES="2u")."""
+    (default AM_TPU_V4_STAGES="2u,2s,0u,0s,1u,1s")."""
     from audio_metrics_tpu.models.htsat import _swin_block, _whole_block_pallas_v4
 
     rng = np.random.default_rng(101 + stage + shift)
@@ -599,7 +601,9 @@ def test_attention_v3_grouped_matches_ungrouped(stage, shift):
     np.testing.assert_allclose(np.asarray(grp), np.asarray(base), atol=5e-5)
 
 
-@pytest.mark.parametrize("stage,shift", [(2, 0), (2, 4), (3, 0)])
+@pytest.mark.parametrize(
+    "stage,shift", [(0, 4), (1, 4), (2, 0), (2, 4), (3, 0)]
+)
 def test_swin_block_v4_grouped_matches_xla(stage, shift):
     """The v4 whole-block kernel with the head-grouped attention path must
     still match the XLA _swin_block end to end."""
