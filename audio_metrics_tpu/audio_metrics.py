@@ -309,14 +309,18 @@ class AudioMetrics:
         # host-side f64 eigh overlaps the device sweeps; the syncs happen in
         # the finalize calls.  Same results, same keys, ~the host-eigh time
         # saved per evaluate.
+        _t0 = _time.perf_counter()
         pending = []
         if "kd" in self.metrics:
             pending.append(
                 kernel_distance(stem_cand, stem_ref, mesh=self.mesh, lazy=True)
             )
+            self.timings["kd_dispatch"] = _time.perf_counter() - _t0
         if "prdc" in self.metrics:
+            _t0 = _time.perf_counter()
             k = max(1, min(10, len(stem_ref), len(stem_cand)))
             pending.append(prdc(stem_ref, stem_cand, k, mesh=self.mesh, lazy=True))
+            self.timings["prdc_dispatch"] = _time.perf_counter() - _t0
 
         result = {}
         if "fad" in self.metrics:
