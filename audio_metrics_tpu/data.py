@@ -321,7 +321,9 @@ class AudioMetricsData:
             "n": self.n,
             "store_embeddings": self.store_embeddings,
             "embeddings": self.embeddings,
-            "radii": dict(self.radii),
+            # radii may be device-resident (the fused PRDC path caches them
+            # without a host sync) — coerce for the .npz writer
+            "radii": {k: np.asarray(v) for k, v in self.radii.items()},
         }
 
     @classmethod

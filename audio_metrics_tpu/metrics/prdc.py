@@ -270,19 +270,23 @@ def prdc(reference, candidate, nearest_k: int, mesh=None, lazy: bool = False):
     fused = None
     if (
         _try_pallas()
-        and reference.radii.get(key) is None
         and candidate.radii.get(key) is None
         and reference.has_embeddings
         and candidate.has_embeddings
     ):
-        # cold caches (the common evaluate path): radii + pairwise sweeps in
-        # ONE jitted program with a single host sync — radii never round-trip
-        # the host between the kNN and stats kernels
-        from ..ops.distance import prdc_all_pallas
+        # the common evaluate path: all remaining kNN radii + both pairwise
+        # sweeps in ONE jitted program and NO host sync at dispatch — the
+        # outputs stay on device until finalize(), so a lazy caller overlaps
+        # host work (FAD's f64 math) with the sweeps.  Cached reference
+        # radii (warm across evaluate() calls) skip the reference kNN sweep.
+        from ..ops.distance import prdc_all_pallas_device
 
         try:
-            fused = prdc_all_pallas(
-                reference.embeddings_device, candidate.embeddings_device, nearest_k
+            fused = prdc_all_pallas_device(
+                reference.embeddings_device,
+                candidate.embeddings_device,
+                nearest_k,
+                ref_radii=reference.radii.get(key),
             )
         except Exception as exc:
             _pallas_failed(exc)

@@ -297,16 +297,50 @@ def _prdc_all_call(ref, cand, k: int, interpret: bool):
     return ref_radii, cand_radii, cand_any, cand_count, ref_any, ref_min
 
 
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _prdc_given_rr_call(ref, cand, ref_radii, k: int, interpret: bool):
+    """Candidate radii + both PRDC sweeps given precomputed (cached)
+    reference radii — the warm-reference evaluate path in one dispatch."""
+    cand_radii = _knn_call(cand, min(k + 1, cand.shape[0]), interpret)
+    stats = _stats_calls(ref, cand, ref_radii, cand_radii, interpret)
+    return (cand_radii,) + stats
+
+
+def prdc_all_pallas_device(
+    reference, candidate, nearest_k: int, ref_radii=None, interpret: bool = False
+):
+    """One-dispatch PRDC returning DEVICE arrays — no host sync here, so a
+    lazy caller can overlap host work (FAD's f64 math) with the sweeps and
+    pull everything in its finalize.  Returns (ref_radii, cand_radii,
+    cand_in_ref_any, cand_in_ref_count, ref_in_cand_any, ref_min_dist).
+    When ``ref_radii`` is given (the reference side is cached across
+    evaluate() calls), only the candidate's kNN sweep runs."""
+    with _x32_scope():
+        if ref_radii is None:
+            return _prdc_all_call(
+                jnp.asarray(reference),
+                jnp.asarray(candidate),
+                int(nearest_k),
+                interpret,
+            )
+        rr = jnp.asarray(ref_radii, dtype=jnp.float32)
+        out = _prdc_given_rr_call(
+            jnp.asarray(reference),
+            jnp.asarray(candidate),
+            rr,
+            int(nearest_k),
+            interpret,
+        )
+        return (rr,) + out
+
+
 def prdc_all_pallas(reference, candidate, nearest_k: int, interpret: bool = False):
     """Fused PRDC device pass: returns (ref_radii, cand_radii, cand_in_ref_any,
     cand_in_ref_count, ref_in_cand_any, ref_min_dist) as numpy arrays with a
     single host sync.  Semantics match knn_radii_pallas + pairwise_stats_pallas
     (reference prdc.py:4-50)."""
-    with _x32_scope():
-        out = _prdc_all_call(
-            jnp.asarray(reference), jnp.asarray(candidate), int(nearest_k), interpret
-        )
-        host = jax.device_get(out)
+    out = prdc_all_pallas_device(reference, candidate, nearest_k, interpret=interpret)
+    host = jax.device_get(out)
     rr, cr, ca, cc, ra, rm = (np.asarray(a) for a in host)
     return rr, cr, ca, cc.astype(np.int64), ra, rm
 

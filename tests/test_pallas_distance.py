@@ -61,3 +61,60 @@ def test_prdc_all_fused_matches_separate_kernels():
     np.testing.assert_array_equal(cc, cc0)
     np.testing.assert_array_equal(ra, ra0)
     np.testing.assert_allclose(rm, rm0)
+
+
+def test_prdc_device_warm_reference_matches_cold():
+    """The warm-reference device path (cached ref radii skip the reference
+    kNN sweep; everything stays on device until the caller pulls) must match
+    the cold full-fused pass exactly."""
+    import numpy as np
+    import jax
+    from audio_metrics_tpu.ops.distance import (
+        knn_radii_pallas,
+        prdc_all_pallas,
+        prdc_all_pallas_device,
+    )
+
+    rng = np.random.default_rng(12)
+    ref = rng.normal(size=(260, 32)).astype(np.float32)
+    cand = rng.normal(size=(380, 32)).astype(np.float32)
+    k = 4
+    cold = prdc_all_pallas(ref, cand, k, interpret=True)
+    rr_cached = knn_radii_pallas(ref, k, interpret=True)
+    warm_dev = prdc_all_pallas_device(
+        ref, cand, k, ref_radii=rr_cached, interpret=True
+    )
+    warm = [np.asarray(a) for a in jax.device_get(warm_dev)]
+    for c, w in zip(cold, warm):
+        np.testing.assert_allclose(np.asarray(c, np.float64), w.astype(np.float64))
+
+
+def test_prdc_metric_warm_reference_cache_path():
+    """metrics.prdc with a pre-populated reference radii cache (the repeated
+    evaluate() case) must return the same values as the cold call, and the
+    radii caches must end up populated on both sides."""
+    import numpy as np
+    from audio_metrics_tpu.data import AudioMetricsData
+    from audio_metrics_tpu.metrics.prdc import prdc
+
+    rng = np.random.default_rng(13)
+
+    def amd(x):
+        a = AudioMetricsData(store_embeddings=True)
+        a.add(x)
+        return a
+
+    ref_x = rng.normal(size=(200, 24)).astype(np.float32)
+    cand_x = rng.normal(size=(240, 24)).astype(np.float32)
+    k = 3
+
+    cold_ref, cold_cand = amd(ref_x), amd(cand_x)
+    cold = prdc(cold_ref, cold_cand, k)
+
+    warm_ref, warm_cand = amd(ref_x), amd(cand_x)
+    warm_ref.get_radii(k)  # populate the reference cache (numpy path)
+    assert warm_ref.radii.get(f"radii_{k}") is not None
+    warm = prdc(warm_ref, warm_cand, k)
+    assert warm_cand.radii.get(f"radii_{k}") is not None
+    for key in ("precision", "recall", "density", "coverage"):
+        np.testing.assert_allclose(cold[key], warm[key], rtol=0, atol=0)
