@@ -315,11 +315,16 @@ def prdc(reference, candidate, nearest_k: int, mesh=None, lazy: bool = False):
         )
 
     def finalize():
-        ca = ensure_ndarray(cand_any)
-        cc = ensure_ndarray(cand_count)
-        ra = ensure_ndarray(ref_any)
-        rm = ensure_ndarray(ref_min)
-        rr = ensure_ndarray(ref_radii)
+        import jax
+
+        # ONE transfer for all five vectors — per-array pulls are a full
+        # round trip each on remote-device links (numpy inputs pass through)
+        ca, cc, ra, rm, rr = (
+            np.asarray(a)
+            for a in jax.device_get(
+                (cand_any, cand_count, ref_any, ref_min, ref_radii)
+            )
+        )
         return dict(
             precision=float(np.mean(ca.astype(np.float64))),
             recall=float(np.mean(ra.astype(np.float64))),
