@@ -310,16 +310,18 @@ class AudioMetrics:
         # the finalize calls.  Same results, same keys, ~the host-eigh time
         # saved per evaluate.
         _t0 = _time.perf_counter()
-        pending = []
+        pending = []  # (device_arrays, host_reduce), reference key order kept
         if "kd" in self.metrics:
             pending.append(
-                kernel_distance(stem_cand, stem_ref, mesh=self.mesh, lazy=True)
+                kernel_distance(stem_cand, stem_ref, mesh=self.mesh, lazy="parts")
             )
             self.timings["kd_dispatch"] = _time.perf_counter() - _t0
         if "prdc" in self.metrics:
             _t0 = _time.perf_counter()
             k = max(1, min(10, len(stem_ref), len(stem_cand)))
-            pending.append(prdc(stem_ref, stem_cand, k, mesh=self.mesh, lazy=True))
+            pending.append(
+                prdc(stem_ref, stem_cand, k, mesh=self.mesh, lazy="parts")
+            )
             self.timings["prdc_dispatch"] = _time.perf_counter() - _t0
 
         result = {}
@@ -328,8 +330,14 @@ class AudioMetrics:
             result["fad"] = frechet_distance(stem_cand, stem_ref)
             self.timings["fad"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        for finalize in pending:  # kd then prdc: reference key order kept
-            result.update(finalize())
+        if pending:
+            import jax
+
+            # ONE transfer for every pending metric's device arrays (each
+            # pull is a full round trip on remote-device links)
+            host = jax.device_get(tuple(arrs for arrs, _ in pending))
+            for (_, host_reduce), h in zip(pending, host):
+                result.update(host_reduce(h))
         self.timings["finalize"] = _time.perf_counter() - _t0
         if self.need_apa:
             _t0 = _time.perf_counter()

@@ -271,17 +271,24 @@ def _device_mmd2_subsets(
         )
         arrs = run(f1, f2, i1, i2)
 
-        def finalize():
-            rows = tuple(r[:n_subsets] for r in jax.device_get(arrs))
+        def reduce_fn(host_arrs):
+            rows = tuple(np.asarray(r)[:n_subsets] for r in host_arrs)
             return _host_mmd2(rows, m)
 
-        return finalize if lazy else finalize()
+    else:
+        run = _get_kd_rows()
+        arrs = run(f1, f2, i1, i2, kparams, chunk)
 
-    run = _get_kd_rows()
-    arrs = run(f1, f2, i1, i2, kparams, chunk)
+        def reduce_fn(host_arrs):
+            return _host_mmd2(tuple(np.asarray(a) for a in host_arrs), m)
+
+    if lazy == "parts":
+        # (device_arrays, host_reduce) so the caller can coalesce the pull
+        # with other metrics' arrays into ONE transfer
+        return arrs, reduce_fn
 
     def finalize():
-        return _host_mmd2(jax.device_get(arrs), m)
+        return reduce_fn(jax.device_get(arrs))
 
     return finalize if lazy else finalize()
 
@@ -382,7 +389,7 @@ def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
     coef0 = kwargs.get("kid_coef0", KID_COEF0)
     sigma = kwargs.get("kid_sigma", KID_SIGMA)
 
-    fin = _device_mmd2_subsets(
+    arrs, rows_fn = _device_mmd2_subsets(
         features_1,
         features_2,
         idx_1,
@@ -393,14 +400,23 @@ def kid_features_to_metric(features_1, features_2, **kwargs) -> dict:
         coef0=float(coef0),
         sigma=float(sigma),
         mesh=kwargs.get("mesh"),
-        lazy=True,
+        lazy="parts",
     )
 
-    def finalize():
-        mmds = fin()
+    def host_reduce(host_arrs):
+        mmds = rows_fn(host_arrs)
         return {
             KEY_METRIC_KID_MEAN: float(np.mean(mmds)),
             KEY_METRIC_KID_STD: float(np.std(mmds)),
         }
 
-    return finalize if kwargs.get("lazy") else finalize()
+    lazy = kwargs.get("lazy")
+    if lazy == "parts":
+        return arrs, host_reduce
+
+    def finalize():
+        import jax
+
+        return host_reduce(jax.device_get(arrs))
+
+    return finalize if lazy else finalize()

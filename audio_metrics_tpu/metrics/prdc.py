@@ -314,22 +314,26 @@ def prdc(reference, candidate, nearest_k: int, mesh=None, lazy: bool = False):
             nearest_k,
         )
 
-    def finalize():
-        import jax
+    arrs = (cand_any, cand_count, ref_any, ref_min, ref_radii)
 
-        # ONE transfer for all five vectors — per-array pulls are a full
-        # round trip each on remote-device links (numpy inputs pass through)
-        ca, cc, ra, rm, rr = (
-            np.asarray(a)
-            for a in jax.device_get(
-                (cand_any, cand_count, ref_any, ref_min, ref_radii)
-            )
-        )
+    def host_reduce(host_arrs):
+        ca, cc, ra, rm, rr = (np.asarray(a) for a in host_arrs)
         return dict(
             precision=float(np.mean(ca.astype(np.float64))),
             recall=float(np.mean(ra.astype(np.float64))),
             density=float(np.mean(cc.astype(np.float64))) / float(nearest_k),
             coverage=float(np.mean((rm < rr).astype(np.float64))),
         )
+
+    if lazy == "parts":
+        # (device_arrays, host_reduce): the caller coalesces the pull with
+        # other metrics' arrays into ONE transfer (each pull is a full round
+        # trip on remote-device links)
+        return arrs, host_reduce
+
+    def finalize():
+        import jax
+
+        return host_reduce(jax.device_get(arrs))
 
     return finalize if lazy else finalize()
