@@ -141,6 +141,40 @@ def test_loudness_sine_reference_level():
     assert abs(got - (-3.01)) < 0.1
 
 
+def test_loudness_gain_linearity_anchor():
+    """BS.1770 spec property: applying a gain of g dB shifts integrated
+    loudness by exactly g LU (absolute calibration beyond the single
+    full-scale anchor; not an in-repo-oracle comparison)."""
+    sr = 48000
+    t = np.arange(int(5 * sr)) / sr
+    base = -3.0103  # full-scale 997 Hz sine
+    for a in (0.5, 0.1, 0.01):
+        x = (a * np.sin(2 * np.pi * 997 * t))[None]
+        got = float(np.asarray(integrated_loudness_batch(x, sr))[0])
+        want = base + 20 * np.log10(a)
+        assert abs(got - want) < 0.05, (a, got, want)
+
+
+def test_loudness_relative_gate_excludes_quiet_tail():
+    """The -10 LU relative gate (BS.1770-4 gating) must exclude a long
+    quiet tail: integrated loudness of loud+quiet ~= loudness of the loud
+    segment alone, NOT the energy mean (which would be ~7 LU lower for a
+    3x-longer -40 dB tail)."""
+    sr = 48000
+    loud = 0.35 * np.sin(2 * np.pi * 997 * np.arange(int(5 * sr)) / sr)
+    quiet = (0.35 * 10 ** (-40 / 20)) * np.sin(
+        2 * np.pi * 997 * np.arange(int(15 * sr)) / sr
+    )
+    both = np.concatenate([loud, quiet])[None]
+    got = float(np.asarray(integrated_loudness_batch(both, sr))[0])
+    loud_only = float(np.asarray(integrated_loudness_batch(loud[None], sr))[0])
+    energy_mean = loud_only + 10 * np.log10(
+        (5 + 15 * 10 ** (-40 / 10)) / 20.0
+    )
+    assert abs(got - loud_only) < 0.15, (got, loud_only)
+    assert got - energy_mean > 4.0  # the gate really engaged
+
+
 def test_loudness_silence_is_neg_inf():
     sr = 16000
     x = np.zeros((1, 2 * sr))
