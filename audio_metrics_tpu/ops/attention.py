@@ -33,6 +33,7 @@ reference embedders/clap.py:17).
 from __future__ import annotations
 
 import contextlib
+import os
 from functools import partial
 
 import numpy as np
@@ -859,6 +860,15 @@ def _swin_block_kernel_v4(
     out_ref[:] = (res + h2).astype(dt).reshape(kb, height, width, c)
 
 
+# VMEM budget for the v4 block-size heuristic.  Bigger kb amortizes the
+# per-grid-step weight DMA (at stage 2, kb=4 re-reads the block's 6.3 MB of
+# weights 32x per B=128 forward = 2.4 GB of HBM traffic); read once at
+# import (jit-cache caveat as AM_TPU_NO_PALLAS).
+_V4_VMEM_BUDGET = int(
+    os.environ.get("AM_TPU_V4_VMEM_MB", "48")
+) * 1024 * 1024
+
+
 def _kb_for_v4(batch, height, width, c, heads, window, grouped=False) -> int:
     """v3 footprint + the MLP intermediates (rows x 4C f32)."""
     n = window * window
@@ -875,7 +885,7 @@ def _kb_for_v4(batch, height, width, c, heads, window, grouped=False) -> int:
     while (
         kb * 2 <= batch
         and batch % (kb * 2) == 0
-        and (kb * 2) * per_image <= 48 * 1024 * 1024
+        and (kb * 2) * per_image <= _V4_VMEM_BUDGET
     ):
         kb *= 2
     return kb
