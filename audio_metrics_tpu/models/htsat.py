@@ -31,6 +31,11 @@ import jax.numpy as jnp
 
 __all__ = ["HTSATConfig", "htsat_encode", "init_params", "HTSAT_BASE", "HTSAT_TINY"]
 
+# Force the v0 image-materializing frontend (reshape_mel2img + patchify)
+# instead of the restructured single-transpose path; A/B + debugging knob.
+# Read ONCE at import — not part of the jit cache key (see CLAUDE.md).
+_FRONTEND_V0 = bool(os.environ.get("AM_TPU_FRONTEND_V0"))
+
 
 def _use_pallas_attention(n_windows: int) -> bool:
     """v1 fused Pallas attention (per-head thin matmuls) pays off only at
@@ -727,6 +732,89 @@ def reshape_mel2img(mel, cfg: HTSATConfig):
     return x
 
 
+def _patch_tokens(params, x, cfg: HTSATConfig, compute_dtype):
+    """(B, 1, spec, spec) image -> patch-embed tokens (B, N, C) + LN.
+
+    The k=4 s=4 single-channel conv expressed as a patch reshape + one MXU
+    matmul (the conv lowers through XLA's general conv path at ~40% of the
+    matmul's speed for C_in=1)."""
+    ps = cfg.patch_size
+    bsz, _, hh, ww = x.shape
+    xp = (
+        x[:, 0]
+        .reshape(bsz, hh // ps, ps, ww // ps, ps)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(bsz, (hh // ps) * (ww // ps), ps * ps)
+    )
+    w = (
+        params["audio_encoder.patch_embed.proj.weight"]
+        .reshape(-1, ps * ps)
+        .T.astype(compute_dtype)
+    )
+    b = params["audio_encoder.patch_embed.proj.bias"]
+    x = jnp.dot(
+        xp.astype(compute_dtype), w, preferred_element_type=jnp.float32
+    ) + b.astype(jnp.float32)
+    x = x.astype(compute_dtype)  # (B, N, C) in row-major (grid_h, grid_w) order
+    return _layer_norm(
+        x,
+        params["audio_encoder.patch_embed.norm.weight"],
+        params["audio_encoder.patch_embed.norm.bias"],
+        cfg.layer_norm_eps,
+    )
+
+
+def frontend_tokens(params, mel, cfg: HTSATConfig, compute_dtype):
+    """BatchNorm'd (B, T, F) log-mel -> patch tokens (B, N, C), restructured.
+
+    Exact-math refactor of reshape_mel2img + _patch_tokens that never
+    materializes the (B, 1, spec, spec) image: because patches never
+    straddle the freq_ratio chunks (spec_height is a patch-size multiple),
+    the time-interpolated mel reshapes straight into
+    (b, chunk, gw, dh, fblk, dv) and ONE 6-d transpose produces the
+    patch-vector rows in token order — replacing two full relayout passes
+    (the mel2img chunk fold and the patchify gather) with one.  The matmul
+    contracts the same 16 products in the same f32 accumulation, so the
+    result is bitwise-equal to the image path (tests/test_htsat.py pins
+    equality).  Falls back to the image path for shapes where the
+    chunk-alignment argument does not hold (never for HTSAT-base).
+    """
+    ratio, ps = cfg.freq_ratio, cfg.patch_size
+    spec_w = cfg.spec_size * ratio  # target time length
+    spec_h = cfg.spec_size // ratio  # per-chunk freq length
+    bsz, t, f = mel.shape
+    chunk_w = spec_w // ratio
+    if _FRONTEND_V0 or f != spec_h or spec_h % ps or chunk_w % ps:
+        return _patch_tokens(params, reshape_mel2img(mel, cfg), cfg, compute_dtype)
+    if t < spec_w:
+        w = jnp.asarray(_bicubic_matrix(t, spec_w))
+        x = jnp.einsum("ot,btf->bof", w, mel, preferred_element_type=jnp.float32)
+    else:
+        x = mel
+    gw = chunk_w // ps  # tokens along time within a chunk
+    fb = spec_h // ps  # token rows per chunk
+    # t' = chunk*chunk_w + gw*ps + dh ; f = fblk*ps + dv ;
+    # token (gh, gw) with gh = chunk*fb + fblk, patch vector index dv*ps+dh
+    a = x.reshape(bsz, ratio, gw, ps, fb, ps)
+    a = a.transpose(0, 1, 4, 2, 5, 3).reshape(bsz, ratio * fb * gw, ps * ps)
+    wp = (
+        params["audio_encoder.patch_embed.proj.weight"]
+        .reshape(-1, ps * ps)
+        .T.astype(compute_dtype)
+    )
+    b = params["audio_encoder.patch_embed.proj.bias"]
+    tok = jnp.dot(
+        a.astype(compute_dtype), wp, preferred_element_type=jnp.float32
+    ) + b.astype(jnp.float32)
+    tok = tok.astype(compute_dtype)
+    return _layer_norm(
+        tok,
+        params["audio_encoder.patch_embed.norm.weight"],
+        params["audio_encoder.patch_embed.norm.bias"],
+        cfg.layer_norm_eps,
+    )
+
+
 def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE, compute_dtype=None):
     """mel: (B, T, n_mels) log-mel -> pooled latent (B, num_features) f32.
 
@@ -748,35 +836,7 @@ def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE, compute_dtype
     beta = params["audio_encoder.batch_norm.bias"]
     mel = (mel - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
 
-    x = reshape_mel2img(mel, cfg)  # (B, 1, spec, spec)
-
-    # patch embed: the k=4 s=4 single-channel conv expressed as a patch
-    # reshape + one MXU matmul (the conv lowers through XLA's general conv
-    # path at ~40% of the matmul's speed for C_in=1)
-    ps = cfg.patch_size
-    bsz, _, hh, ww = x.shape
-    xp = (
-        x[:, 0]
-        .reshape(bsz, hh // ps, ps, ww // ps, ps)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(bsz, (hh // ps) * (ww // ps), ps * ps)
-    )
-    w = (
-        params["audio_encoder.patch_embed.proj.weight"]
-        .reshape(-1, ps * ps)
-        .T.astype(compute_dtype)
-    )
-    b = params["audio_encoder.patch_embed.proj.bias"]
-    x = jnp.dot(
-        xp.astype(compute_dtype), w, preferred_element_type=jnp.float32
-    ) + b.astype(jnp.float32)
-    x = x.astype(compute_dtype)  # (B, N, C) in row-major (grid_h, grid_w) order
-    x = _layer_norm(
-        x,
-        params["audio_encoder.patch_embed.norm.weight"],
-        params["audio_encoder.patch_embed.norm.bias"],
-        cfg.layer_norm_eps,
-    )
+    x = frontend_tokens(params, mel, cfg, compute_dtype)
 
     resolution = cfg.grid_size
     n_stages = len(cfg.depths)

@@ -151,3 +151,33 @@ def test_patch_merging_conv_matches_gather(res, c, dtype):
     got = np.asarray(_patch_merging(x, params, prefix, HTSAT_BASE, res), np.float32)
     tol = 5e-5 if dtype == "float32" else 0.15
     np.testing.assert_allclose(got, want, atol=tol * np.abs(want).max())
+
+
+@pytest.mark.parametrize("t", [1001, 1024])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_frontend_tokens_matches_image_path(t, dtype):
+    """The restructured frontend (no image materialization, one 6-d
+    transpose) must be bitwise-equal to the reshape_mel2img + patchify
+    path: same products, same f32-accumulated matmul."""
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu.models.htsat import (
+        HTSAT_BASE,
+        _patch_tokens,
+        frontend_tokens,
+        init_params,
+        reshape_mel2img,
+    )
+
+    params = {k: jnp.asarray(v) for k, v in init_params(HTSAT_BASE).items()}
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.normal(size=(3, t, 64)).astype(np.float32))
+    dt = jnp.dtype(dtype)
+
+    want = np.asarray(
+        _patch_tokens(params, reshape_mel2img(mel, HTSAT_BASE), HTSAT_BASE, dt),
+        np.float32,
+    )
+    got = np.asarray(frontend_tokens(params, mel, HTSAT_BASE, dt), np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
