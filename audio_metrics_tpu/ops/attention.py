@@ -848,17 +848,54 @@ def _swin_block_kernel_v4(
         * ln2_w_ref[:].astype(jnp.float32)
         + ln2_b_ref[:].astype(jnp.float32)
     ).astype(dt)
-    h1 = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[
-        :
-    ].astype(jnp.float32)
-    h1 = h1 * jnp.float32(0.5) * (
-        jnp.float32(1.0) + _erf_f32(h1 * jnp.float32(0.70710678118654752))
-    )
-    h2 = jnp.dot(
-        h1.astype(dt), w2_ref[:], preferred_element_type=jnp.float32
-    ) + b2_ref[:].astype(jnp.float32)
+
+    def gelu(t):
+        return t * jnp.float32(0.5) * (
+            jnp.float32(1.0) + _erf_f32(t * jnp.float32(0.70710678118654752))
+        )
+
+    hidden = w1_ref.shape[1]
+    nch = _MLP_CHUNKS
+    if nch > 1 and (hidden % nch or (hidden // nch) % 128):
+        nch = 1  # chunk boundaries must stay 128-lane-aligned
+    if nch == 1:
+        h1 = gelu(
+            jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[:].astype(jnp.float32)
+        )
+        h2 = jnp.dot(
+            h1.astype(dt), w2_ref[:], preferred_element_type=jnp.float32
+        ) + b2_ref[:].astype(jnp.float32)
+    else:
+        # Hidden-dim chunking: fc1/GELU/fc2 over independent 128-aligned
+        # hidden slices gives Mosaic interleavable MXU (matmuls) and VPU
+        # (erf-GELU) chains — the monolithic form serializes the whole
+        # (rows, hidden) GELU pass between the two matmuls.  Same products,
+        # f32 partial sums reassociated across chunks only.
+        hc = hidden // nch
+        acc = None
+        for j in range(nch):
+            t1 = gelu(
+                jnp.dot(
+                    h,
+                    w1_ref[:, j * hc : (j + 1) * hc],
+                    preferred_element_type=jnp.float32,
+                )
+                + b1_ref[j * hc : (j + 1) * hc].astype(jnp.float32)
+            )
+            pj = jnp.dot(
+                t1.astype(dt),
+                w2_ref[j * hc : (j + 1) * hc, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = pj if acc is None else acc + pj
+        h2 = acc + b2_ref[:].astype(jnp.float32)
     out_ref[:] = (res + h2).astype(dt).reshape(kb, height, width, c)
 
+
+# Hidden-dim chunk count for the v4 MLP half (1 = monolithic).  Read once
+# at import (jit-cache caveat as AM_TPU_NO_PALLAS).
+_MLP_CHUNKS = int(os.environ.get("AM_TPU_MLP_CHUNKS", "1"))
 
 # VMEM budget for the v4 block-size heuristic.  Bigger kb amortizes the
 # per-grid-step weight DMA (at stage 2, kb=4 re-reads the block's 6.3 MB of
