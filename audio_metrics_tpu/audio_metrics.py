@@ -325,11 +325,30 @@ class AudioMetrics:
             self.timings["prdc_dispatch"] = _time.perf_counter() - _t0
 
         result = {}
+        fad_thread = None
+        fad_out: dict = {}
         if "fad" in self.metrics:
             _t0 = _time.perf_counter()
-            result["fad"] = frechet_distance(stem_cand, stem_ref)
-            self.timings["fad"] = _time.perf_counter() - _t0
+
+            def _fad():
+                try:
+                    fad_out["fad"] = frechet_distance(stem_cand, stem_ref)
+                except BaseException as exc:  # re-raised after join
+                    fad_out["error"] = exc
+
+            if pending:
+                # Host f64 eigvalsh (LAPACK, GIL-free) overlaps the blocking
+                # KD/PRDC device pull below — the evaluate tail costs
+                # max(fad, pull) instead of fad + pull.
+                import threading
+
+                fad_thread = threading.Thread(target=_fad)
+                fad_thread.start()
+            else:
+                _fad()
+                self.timings["fad"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
+        pulled = []
         if pending:
             import jax
 
@@ -337,7 +356,16 @@ class AudioMetrics:
             # pull is a full round trip on remote-device links)
             host = jax.device_get(tuple(arrs for arrs, _ in pending))
             for (_, host_reduce), h in zip(pending, host):
-                result.update(host_reduce(h))
+                pulled.append(host_reduce(h))
+        if fad_thread is not None:
+            fad_thread.join()
+            self.timings["fad_overlapped"] = _time.perf_counter() - _t0
+        err = fad_out.pop("error", None)
+        if err is not None:
+            raise err
+        result.update(fad_out)  # reference key order: fad first
+        for out in pulled:
+            result.update(out)
         self.timings["finalize"] = _time.perf_counter() - _t0
         if self.need_apa:
             _t0 = _time.perf_counter()

@@ -271,6 +271,29 @@ class AudioMetricsData:
             centered = ef - self.mean
             self.cov = centered.T @ centered / (self.n - 1)
 
+    def chol_cov(self) -> np.ndarray | None:
+        """Cholesky factor of ``cov``, cached by array identity.
+
+        FAD's trace-sqrtm runs its similarity transform on the reference
+        side precisely so this factorization (~8 ms at d=512) is paid once
+        per reference, not once per evaluate.  Every stats update rebinds
+        ``self.cov`` to a fresh array (nothing mutates it in place), so
+        caching on the array object itself is a safe invalidation rule.
+        Returns None when ``cov`` is absent or numerically semidefinite
+        (callers fall back to the eigh route)."""
+        cov = self.cov
+        if cov is None:
+            return None
+        cached = getattr(self, "_chol_cache", None)
+        if cached is not None and cached[0] is cov:
+            return cached[1]
+        try:
+            l = np.linalg.cholesky(np.asarray(cov, dtype=np.float64))
+        except np.linalg.LinAlgError:
+            l = None
+        self._chol_cache = (cov, l)
+        return l
+
     def get_radii(self, k_neighbor: int) -> np.ndarray | None:
         """k-NN radii of the stored embeddings, cached per k (data.py:60-66)."""
         key = f"radii_{k_neighbor}"

@@ -32,17 +32,27 @@ def _sym_sqrtm(a: np.ndarray) -> np.ndarray:
     return (vecs * np.sqrt(vals)) @ vecs.T
 
 
-def trace_sqrtm_product(sigma_x: np.ndarray, sigma_y: np.ndarray) -> float:
+def trace_sqrtm_product(
+    sigma_x: np.ndarray, sigma_y: np.ndarray, chol_x: np.ndarray | None = None
+) -> float:
     """``Tr sqrt(sigma_x @ sigma_y)`` for symmetric PSD inputs.
 
     Fast path: with ``sigma_x = L L^T`` (Cholesky), ``eig(sigma_x sigma_y)
     = eig(L^T sigma_y L)`` (cyclic similarity), and ``L^T sigma_y L`` is
     symmetric PSD — one Cholesky + eigvalsh (~22 ms at d=512) instead of a
     full eigendecomposition for the matrix square root (~60 ms).  Falls
-    back to the eigh route when sigma_x is numerically semidefinite."""
-    try:
-        l = np.linalg.cholesky(sigma_x)
-    except np.linalg.LinAlgError:
+    back to the eigh route when sigma_x is numerically semidefinite.
+
+    ``chol_x``: optional precomputed Cholesky factor of ``sigma_x``
+    (callers that evaluate repeatedly against a fixed reference cache it —
+    see :meth:`AudioMetricsData.chol_cov`)."""
+    l = chol_x
+    if l is None:
+        try:
+            l = np.linalg.cholesky(sigma_x)
+        except np.linalg.LinAlgError:
+            l = None
+    if l is None:
         sx_half = _sym_sqrtm(sigma_x)
         m = sx_half @ sigma_y @ sx_half
     else:
@@ -89,7 +99,9 @@ def _trace_sqrtm_product_ns(sigma_x, sigma_y, n_iter: int = 30):
     return jnp.sqrt(norm) * jnp.trace(y)
 
 
-def _frechet_distance(mu_x, sigma_x, mu_y, sigma_y, method: str = "eigh"):
+def _frechet_distance(
+    mu_x, sigma_x, mu_y, sigma_y, method: str = "eigh", chol_x=None
+):
     mu_x = ensure_ndarray(mu_x).astype(np.float64)
     mu_y = ensure_ndarray(mu_y).astype(np.float64)
     sigma_x = ensure_ndarray(sigma_x).astype(np.float64)
@@ -97,7 +109,7 @@ def _frechet_distance(mu_x, sigma_x, mu_y, sigma_y, method: str = "eigh"):
     a = float(np.sum(np.square(mu_x - mu_y)))
     b = float(np.trace(sigma_x) + np.trace(sigma_y))
     if method == "eigh":
-        c = trace_sqrtm_product(sigma_x, sigma_y)
+        c = trace_sqrtm_product(sigma_x, sigma_y, chol_x=chol_x)
     elif method == "newton_schulz":
         c = float(_trace_sqrtm_product_ns(sigma_x, sigma_y))
     else:
@@ -110,5 +122,15 @@ def frechet_distance(
     y: AudioMetricsData,
     method: str = "eigh",
 ) -> float:
-    """Frechet distance between the Gaussian fits of two embedding sets."""
-    return float(_frechet_distance(x.mean, x.cov, y.mean, y.cov, method=method))
+    """Frechet distance between the Gaussian fits of two embedding sets.
+
+    The similarity transform runs on ``y``'s side (``Tr sqrt(Sx Sy) ==
+    Tr sqrt(Sy Sx)``, cyclic) because ``y`` is the reference in every call
+    site — its Cholesky factor is cached across evaluates
+    (:meth:`AudioMetricsData.chol_cov`)."""
+    chol_y = y.chol_cov() if hasattr(y, "chol_cov") else None
+    return float(
+        _frechet_distance(
+            y.mean, y.cov, x.mean, x.cov, method=method, chol_x=chol_y
+        )
+    )

@@ -675,9 +675,12 @@ def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
 
     # LN stats of the 4c concat row == channel moments pooled over the patch
     # (centered second pass: the raw E[x^2]-mu^2 form cancels in f32 when
-    # |mean| >> std, same reason data.batch_moments centers)
-    xf = x4.astype(jnp.float32)
-    m1 = jnp.mean(xf, axis=-1)
+    # |mean| >> std, same reason data.batch_moments centers).  Both passes
+    # are reductions with f32 ACCUMULATION over the bf16 input — an explicit
+    # f32 copy of the (b, h, w, c) activations defeats XLA's convert-into-
+    # reduce fusion and was measured 5.8x slower at B=128
+    # (scripts/probe_merge.py: 15.3 ms materialized vs 2.65 fused).
+    m1 = jnp.mean(x4, axis=-1, dtype=jnp.float32)
     mu = 0.25 * (
         m1[:, 0::2, 0::2] + m1[:, 1::2, 0::2] + m1[:, 0::2, 1::2] + m1[:, 1::2, 1::2]
     )
@@ -685,8 +688,11 @@ def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
     mu_up = jnp.broadcast_to(
         mu[:, :, None, :, None], (b, h2, 2, w2, 2)
     ).reshape(b, h, w)
-    xc = xf - mu_up[..., None]
-    m2 = jnp.mean(xc * xc, axis=-1)
+    m2 = jnp.mean(
+        jnp.square(x4.astype(jnp.float32) - mu_up[..., None]),
+        axis=-1,
+        dtype=jnp.float32,
+    )
     var = 0.25 * (
         m2[:, 0::2, 0::2] + m2[:, 1::2, 0::2] + m2[:, 0::2, 1::2] + m2[:, 1::2, 1::2]
     )
@@ -707,24 +713,43 @@ def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
 # ----------------------------------------------------------------------
 # the encoder
 # ----------------------------------------------------------------------
-def reshape_mel2img(mel, cfg: HTSATConfig):
+def reshape_mel2img(mel, cfg: HTSATConfig, operand_dtype=None):
     """(B, T, n_mels) log-mel -> (B, 1, spec, spec) image.
 
     Time is bicubic-interpolated (align_corners) up to spec_size*freq_ratio
     and folded as freq_ratio vertical chunks (HTSAT token-semantic layout).
+
+    ``operand_dtype``: dtype the interp matmul operands are cast to.  The
+    bf16-compute forward passes bf16: on TPU, XLA's default matmul
+    precision feeds the MXU bf16 from f32 operands anyway (measured
+    bitwise-identical output), but the explicit cast avoids the f32
+    operand traffic — 2.8x faster (3.40 -> 1.21 ms / 128 clips,
+    scripts/probe_frontend.py).  Default None keeps f32 operands (exact
+    path for f32-compute parity runs).
     """
     b, t, f = mel.shape
     spec_width = cfg.spec_size * cfg.freq_ratio  # target time length
     spec_height = cfg.spec_size // cfg.freq_ratio  # per-chunk freq length
     if t > spec_width or f > spec_height:
         raise ValueError("mel larger than the swin input size")
+    op_dt = jnp.float32 if operand_dtype is None else operand_dtype
     x = mel
     if t < spec_width:
-        w = jnp.asarray(_bicubic_matrix(t, spec_width))
-        x = jnp.einsum("ot,btf->bof", w, x, preferred_element_type=jnp.float32)
+        w = jnp.asarray(_bicubic_matrix(t, spec_width), dtype=op_dt)
+        x = jnp.einsum(
+            "ot,btf->bof",
+            w,
+            x.astype(op_dt),
+            preferred_element_type=jnp.float32,
+        )
     if f < spec_height:
-        w = jnp.asarray(_bicubic_matrix(f, spec_height))
-        x = jnp.einsum("of,btf->bto", w, x, preferred_element_type=jnp.float32)
+        w = jnp.asarray(_bicubic_matrix(f, spec_height), dtype=op_dt)
+        x = jnp.einsum(
+            "of,btf->bto",
+            w,
+            x.astype(op_dt),
+            preferred_element_type=jnp.float32,
+        )
     # (B, 1, T, F) -> (B, freq_ratio, T/freq_ratio, F) -> (B, 1, F*ratio, T/ratio)
     x = x.reshape(b, cfg.freq_ratio, spec_width // cfg.freq_ratio, spec_height)
     x = x.transpose(0, 1, 3, 2)
@@ -784,11 +809,29 @@ def frontend_tokens(params, mel, cfg: HTSATConfig, compute_dtype):
     spec_h = cfg.spec_size // ratio  # per-chunk freq length
     bsz, t, f = mel.shape
     chunk_w = spec_w // ratio
+    # bf16-compute forwards run the interp matmul on bf16 operands == XLA's
+    # implicit MXU feed, minus the operand traffic (bitwise-identical on
+    # TPU, 2.8x faster — see reshape_mel2img); f32 compute keeps f32.
+    op_dt = (
+        jnp.bfloat16
+        if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
+        else None
+    )
     if _FRONTEND_V0 or f != spec_h or spec_h % ps or chunk_w % ps:
-        return _patch_tokens(params, reshape_mel2img(mel, cfg), cfg, compute_dtype)
+        return _patch_tokens(
+            params, reshape_mel2img(mel, cfg, op_dt), cfg, compute_dtype
+        )
     if t < spec_w:
-        w = jnp.asarray(_bicubic_matrix(t, spec_w))
-        x = jnp.einsum("ot,btf->bof", w, mel, preferred_element_type=jnp.float32)
+        w = jnp.asarray(
+            _bicubic_matrix(t, spec_w),
+            dtype=jnp.float32 if op_dt is None else op_dt,
+        )
+        x = jnp.einsum(
+            "ot,btf->bof",
+            w,
+            mel.astype(w.dtype),
+            preferred_element_type=jnp.float32,
+        )
     else:
         x = mel
     gw = chunk_w // ps  # tokens along time within a chunk

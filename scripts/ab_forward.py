@@ -48,7 +48,7 @@ def main():
     dt = (time.perf_counter() - t0) / n
 
     print(
-        f"V4_STAGES={os.environ.get('AM_TPU_V4_STAGES', '<default 2u>')!r} "
+        f"V4_STAGES={os.environ.get('AM_TPU_V4_STAGES', '<default>')!r} "
         f"ATTN_V1={os.environ.get('AM_TPU_ATTN_V1', '')!r} "
         f"B={b}: encode {1e3 * dt:7.2f} ms  ({b / dt:6.0f} clips/s)  "
         f"[first-call {warm:.1f} s]",

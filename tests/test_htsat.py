@@ -174,8 +174,13 @@ def test_frontend_tokens_matches_image_path(t, dtype):
     mel = jnp.asarray(rng.normal(size=(3, t, 64)).astype(np.float32))
     dt = jnp.dtype(dtype)
 
+    # the image path must see the same interp operand dtype the fused path
+    # derives from compute_dtype (bf16 compute -> bf16 interp operands)
+    op_dt = jnp.bfloat16 if dt == jnp.bfloat16 else None
     want = np.asarray(
-        _patch_tokens(params, reshape_mel2img(mel, HTSAT_BASE), HTSAT_BASE, dt),
+        _patch_tokens(
+            params, reshape_mel2img(mel, HTSAT_BASE, op_dt), HTSAT_BASE, dt
+        ),
         np.float32,
     )
     got = np.asarray(frontend_tokens(params, mel, HTSAT_BASE, dt), np.float32)
