@@ -124,13 +124,19 @@ def frechet_distance(
 ) -> float:
     """Frechet distance between the Gaussian fits of two embedding sets.
 
-    The similarity transform runs on ``y``'s side (``Tr sqrt(Sx Sy) ==
-    Tr sqrt(Sy Sx)``, cyclic) because ``y`` is the reference in every call
-    site — its Cholesky factor is cached across evaluates
-    (:meth:`AudioMetricsData.chol_cov`)."""
-    chol_y = y.chol_cov() if hasattr(y, "chol_cov") else None
-    return float(
-        _frechet_distance(
-            y.mean, y.cov, x.mean, x.cov, method=method, chol_x=chol_y
+    When ``y``'s covariance has a Cholesky factor, the similarity transform
+    runs on ``y``'s side (``Tr sqrt(Sx Sy) == Tr sqrt(Sy Sx)``, cyclic):
+    ``y`` is the reference in every call site, so the factorization is
+    cached across evaluates (:meth:`AudioMetricsData.chol_cov`).  When it
+    doesn't (rank-deficient covariance, e.g. low-rank test embedders), the
+    original ``x``-side orientation is kept — the eigh fallback's rounding
+    on clipped near-zero eigenvalues is orientation-sensitive, and tests
+    pin the original bits."""
+    chol_y = y.chol_cov() if method == "eigh" and hasattr(y, "chol_cov") else None
+    if chol_y is not None:
+        return float(
+            _frechet_distance(
+                y.mean, y.cov, x.mean, x.cov, method=method, chol_x=chol_y
+            )
         )
-    )
+    return float(_frechet_distance(x.mean, x.cov, y.mean, y.cov, method=method))
