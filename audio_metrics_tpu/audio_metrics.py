@@ -14,9 +14,10 @@ and state persistence.  Differences from the reference are TPU-idiomatic:
 from __future__ import annotations
 
 import logging
+import os
 from pathlib import Path
 
-from .data import AudioMetricsData
+from .data import AudioMetricsData, flush_pending_stats
 from .metrics.fad import frechet_distance
 from .metrics.kd import kernel_distance
 from .metrics.prdc import prdc
@@ -26,6 +27,11 @@ from .models import EMBEDDERS, DEFAULT_EMBEDDER
 from .parallel.pipeline import embedding_pipeline, ItemCategory
 from .parallel.mesh import make_mesh
 from .utils.serialize import save_state_dict, load_state_dict
+
+# Defer the candidate moment pull into the FAD thread (overlapping the
+# KD/PRDC device sweeps).  Off by default: measured slower through the dev
+# relay's serialized stream — see evaluate().  Read at import.
+_LAZY_TAIL = bool(os.environ.get("AM_TPU_LAZY_TAIL"))
 
 __all__ = ["AudioMetrics"]
 
@@ -267,9 +273,10 @@ class AudioMetrics:
         """Compute the configured metrics for ``candidate`` vs the reference.
 
         Wall-clock stage timings of the last call are kept in
-        ``self.timings`` (seconds): ``pipeline`` (ingest+embed),
-        ``projection``, ``fad``/``apa`` (host math), ``finalize``
-        (KD/PRDC device sync).
+        ``self.timings`` (seconds): ``pipeline`` (ingest + embed + the
+        coalesced candidate moment pull — deferred into the FAD thread
+        when ``AM_TPU_LAZY_TAIL=1``), ``projection``, ``fad``/``apa``
+        (host math), ``finalize`` (KD/PRDC device sync).
         """
         import time as _time
 
@@ -280,6 +287,17 @@ class AudioMetrics:
         metrics = self._run_pipeline(
             candidate, apa_mode="candidate" if self.need_apa else None
         )
+        if not _LAZY_TAIL:
+            # Materialize the candidate's device moments NOW, in the post-
+            # embed idle window and as ONE coalesced transfer across
+            # categories.  Deferring this pull into the FAD thread (so it
+            # overlaps the KD/PRDC sweeps) measured SLOWER on the dev relay
+            # (2949 -> 2628 clips/s): that link executes transfers and
+            # kernels on one serialized stream, so the deferred (d, d) pull
+            # queues behind the sweeps instead of riding the idle window.
+            # On hosts whose DMA overlaps compute, AM_TPU_LAZY_TAIL=1
+            # defers it.
+            flush_pending_stats(metrics.values())
         self.timings["pipeline"] = _time.perf_counter() - _t0
 
         stem_cand = metrics.get(ItemCategory.stem)

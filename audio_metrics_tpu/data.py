@@ -20,6 +20,8 @@ TPU-native counterpart of the reference's ``AudioMetricsData``
 
 from __future__ import annotations
 
+import threading as _threading
+
 import numpy as np
 
 __all__ = ["AudioMetricsData", "ensure_ndarray", "batch_moments"]
@@ -85,6 +87,29 @@ def _batch_moments_jit(e):
     return fn(e)
 
 
+def flush_pending_stats(amds) -> None:
+    """Materialize pending device moments of several accumulators with ONE
+    coalesced device->host transfer (each pull is a full round trip on
+    remote-device links; APA evaluates produce two categories per run)."""
+    amds = [a for a in amds if a is not None and a._pending]
+    if not amds:
+        return
+    import jax
+
+    taken = []
+    for a in amds:
+        with a._pending_lock:
+            pending, a._pending = a._pending, []
+            a._pending_n = 0
+        taken.append((a, pending))
+    host = jax.device_get(
+        [[(s1, m2) for (_, s1, m2) in p] for (_, p) in taken]
+    )
+    for (a, pending), host_p in zip(taken, host):
+        for (n, _, _), (s1_h, m2_h) in zip(pending, host_p):
+            a._merge_moments_host(n, s1_h, m2_h)
+
+
 class AudioMetricsData:
     """Streaming mean / covariance (+ optional raw embeddings) per category.
 
@@ -94,20 +119,79 @@ class AudioMetricsData:
     """
 
     def __init__(self, store_embeddings: bool = True):
-        self.mean: np.ndarray | None = None
-        self.n: int | None = None
-        self.cov: np.ndarray | None = None
+        self._mean: np.ndarray | None = None
+        self._n: int | None = None
+        self._cov: np.ndarray | None = None
         self.store_embeddings = bool(store_embeddings)
         self._embedding_chunks: list[np.ndarray] = []
         self._embeddings_cat: np.ndarray | None = None
         self.radii: dict[str, np.ndarray] = {}
         self.dtype = np.float64
+        # device-resident moment triples not yet merged into the host f64
+        # stats (see add_moments_device); guarded by a lock because the
+        # evaluate() tail flushes from the FAD worker thread
+        self._pending: list[tuple[int, object, object]] = []
+        self._pending_n = 0
+        self._pending_lock = _threading.Lock()
+
+    # ------------------------------------------------------------------
+    # stats access (lazy: pending device moments merge on first read)
+    # ------------------------------------------------------------------
+    @property
+    def mean(self) -> np.ndarray | None:
+        self._flush_pending()
+        return self._mean
+
+    @mean.setter
+    def mean(self, value) -> None:
+        self._mean = value
+
+    @property
+    def cov(self) -> np.ndarray | None:
+        self._flush_pending()
+        return self._cov
+
+    @cov.setter
+    def cov(self, value) -> None:
+        self._cov = value
+
+    @property
+    def n(self) -> int | None:
+        """Total accumulated count — known WITHOUT flushing pending device
+        moments (the pipeline knows batch counts host-side), so ``len()``
+        and PRDC's adaptive k never force a device sync."""
+        if self._n is None and not self._pending:
+            return None
+        return (self._n or 0) + self._pending_n
+
+    @n.setter
+    def n(self, value) -> None:
+        self._n = value
+
+    def _flush_pending(self) -> None:
+        """Merge pending device moment triples into the host f64 stats.
+
+        ONE coalesced device->host pull for all pending triples, merged in
+        arrival order (bitwise-identical to having merged eagerly)."""
+        if not self._pending:
+            return
+        with self._pending_lock:
+            pending, self._pending = self._pending, []
+            self._pending_n = 0
+            if not pending:
+                return
+            import jax
+
+            host = jax.device_get([(s1, m2) for (_, s1, m2) in pending])
+            for (n, _, _), (s1_h, m2_h) in zip(pending, host):
+                self._merge_moments_host(n, s1_h, m2_h)
 
     # ------------------------------------------------------------------
     # accumulation
     # ------------------------------------------------------------------
     def add(self, embeddings) -> None:
         """Accumulate a batch of embeddings (host API, reference data.py:37-47)."""
+        self._flush_pending()  # keep the Chan-merge order == arrival order
         e = ensure_ndarray(embeddings)
         if e.ndim != 2:
             raise ValueError(f"embeddings must be 2-D, got shape {e.shape}")
@@ -136,40 +220,66 @@ class AudioMetricsData:
         ``store_embeddings`` is set.  This is the fast path used by the
         embedding pipeline: device returns float32 moments, host merges f64.
         """
+        self._flush_pending()
         n = int(round(float(n)))
         if n <= 0:
             return
-        s1 = ensure_ndarray(s1).astype(np.float64)
-        m2 = ensure_ndarray(m2).astype(np.float64)
-        mean = s1 / n
-        if n == 1:
-            cov = np.zeros((s1.shape[0], s1.shape[0]), dtype=self.dtype)
-        else:
-            cov = m2 / (n - 1)
-        self._update_stats(mean, cov, n)
+        self._merge_moments_host(
+            n, ensure_ndarray(s1), ensure_ndarray(m2)
+        )
         if self.store_embeddings and embeddings is not None:
             e = ensure_ndarray(embeddings)
             self._embedding_chunks.append(np.array(e, dtype=np.float32, copy=True))
             self._embeddings_cat = None
             self._embeddings_dev = None
 
-    def _update_stats(self, mean: np.ndarray, cov: np.ndarray, n: int) -> None:
-        """Chan merge of (mean, cov, n) pairs (reference data.py:77-94)."""
-        if self.n is None:
-            self.mean = mean.astype(self.dtype)
-            self.cov = cov.astype(self.dtype)
-            self.n = n
+    def add_moments_device(self, n: int, s1, m2) -> None:
+        """Like :meth:`add_moments`, but WITHOUT the device->host sync.
+
+        ``n`` must be a host-side count (the pipeline knows its valid-row
+        counts without asking the device); ``s1``/``m2`` may be in-flight
+        device arrays.  They are merged — in arrival order, so the result is
+        bitwise-identical to the eager path — on the first stats *read*
+        (``mean`` / ``cov`` / serialization), letting the evaluate() tail
+        overlap this pull with the KD/PRDC device sweeps instead of stalling
+        the pipeline on a (d, d) transfer the metrics don't need yet."""
+        n = int(round(float(n)))
+        if n <= 0:
             return
-        n_prod = self.n * n
-        n_total = self.n + n
-        new_mean = (self.n * self.mean + n * mean) / n_total
-        diff = self.mean - mean
-        w_self = (self.n - 1) / (n_total - 1)
+        with self._pending_lock:
+            self._pending.append((n, s1, m2))
+            self._pending_n += n
+
+    def _merge_moments_host(self, n: int, s1, m2) -> None:
+        s1 = np.asarray(s1).astype(np.float64)
+        m2 = np.asarray(m2).astype(np.float64)
+        mean = s1 / n
+        if n == 1:
+            cov = np.zeros((s1.shape[0], s1.shape[0]), dtype=self.dtype)
+        else:
+            cov = m2 / (n - 1)
+        self._update_stats(mean, cov, n)
+
+    def _update_stats(self, mean: np.ndarray, cov: np.ndarray, n: int) -> None:
+        """Chan merge of (mean, cov, n) pairs (reference data.py:77-94).
+
+        Operates on the raw (already-flushed) host stats — callers are the
+        flush itself and the eager accumulation paths, which flush first."""
+        if self._n is None:
+            self._mean = mean.astype(self.dtype)
+            self._cov = cov.astype(self.dtype)
+            self._n = n
+            return
+        n_prod = self._n * n
+        n_total = self._n + n
+        new_mean = (self._n * self._mean + n * mean) / n_total
+        diff = self._mean - mean
+        w_self = (self._n - 1) / (n_total - 1)
         w_other = (n - 1) / (n_total - 1)
         w_diff = (n_prod / n_total) / (n_total - 1)
-        self.cov = w_self * self.cov + w_other * cov + w_diff * np.outer(diff, diff)
-        self.mean = new_mean
-        self.n = n_total
+        self._cov = w_self * self._cov + w_other * cov + w_diff * np.outer(diff, diff)
+        self._mean = new_mean
+        self._n = n_total
 
     # ------------------------------------------------------------------
     # embeddings access
@@ -247,6 +357,11 @@ class AudioMetricsData:
         """
         if not self._embedding_chunks:
             return
+        # stats are recomputed from the stored chunks wholesale; pending
+        # device moments describe rows already in those chunks
+        with self._pending_lock:
+            self._pending = []
+            self._pending_n = 0
         if self._embeddings_cat is None and not any(
             isinstance(c, np.ndarray) for c in self._embedding_chunks
         ):
@@ -320,6 +435,8 @@ class AudioMetricsData:
         if self.n is None:
             self.store_embeddings = other.store_embeddings
         assert self.store_embeddings == other.store_embeddings
+        self._flush_pending()  # merge order == arrival order
+        # property reads flush `other`'s pending device moments
         self._update_stats(other.mean, other.cov, other.n)
         if self.store_embeddings and other._embedding_chunks:
             # adopt chunks as-is: device chunks stay on device

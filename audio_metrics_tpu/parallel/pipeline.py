@@ -399,7 +399,17 @@ def _run_fused_embed(embedder, w, n, batch_size, mesh):
     buf, nn, s1, m2 = loop(
         getattr(embedder, "params", {}), w, jnp.asarray(n, jnp.int32)
     )
-    return buf, [jax.device_get((nn, s1, m2))]
+    # NO host sync here: n is host-known (the loop's mask counts exactly the
+    # first n rows) and s1/m2 stay in flight — AudioMetricsData merges them
+    # lazily, so the (d, d) transfer overlaps the KD/PRDC device sweeps in
+    # the evaluate() tail instead of stalling the pipeline.  The async copy
+    # starts the transfer as soon as the loop finishes.
+    for a in (s1, m2):
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+    return buf, [(int(n), s1, m2)]
 
 
 def _device_windows(waveforms, win_len: int, hop_len: int):
@@ -466,7 +476,7 @@ def _device_pair_eval(
         buf, triples = _run_fused_embed(embedder, mono, n, batch_size, mesh)
         amd = AudioMetricsData(store)
         for nn_h, s1_h, m2_h in triples:
-            amd.add_moments(nn_h, s1_h, m2_h)
+            amd.add_moments_device(nn_h, s1_h, m2_h)
         if store:
             amd._embedding_chunks.append(buf[:n])
             amd._embeddings_cat = None
@@ -756,7 +766,7 @@ def embedding_pipeline(
             buf, triples = _run_fused_embed(embedder, w, n, batch_size, mesh)
             amd = AudioMetricsData(store_stem_embeddings)
             for nn_h, s1_h, m2_h in triples:
-                amd.add_moments(nn_h, s1_h, m2_h)
+                amd.add_moments_device(nn_h, s1_h, m2_h)
             if store_stem_embeddings:
                 amd._embedding_chunks.append(buf[:n])
                 amd._embeddings_cat = None

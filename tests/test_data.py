@@ -170,3 +170,70 @@ def test_add_merges_no_embedding_accumulators():
     c += b
     assert c.store_embeddings is False
     np.testing.assert_allclose(c.mean, both.mean, rtol=1e-12)
+
+
+def test_add_moments_device_lazy_bitwise_equal():
+    """Pending device moments must merge bitwise-identically to the eager
+    path (same Chan-merge order), flush exactly once on first stats read,
+    and report len() WITHOUT flushing."""
+    rng = np.random.default_rng(11)
+    batches = [rng.normal(size=(n, 16)).astype(np.float32) for n in (32, 17, 64)]
+
+    eager = AudioMetricsData(store_embeddings=False)
+    lazy = AudioMetricsData(store_embeddings=False)
+    for e in batches:
+        n, s1, m2 = batch_moments(e)
+        eager.add_moments(n, s1, m2)
+        lazy.add_moments_device(int(e.shape[0]), s1, m2)
+
+    # n is host-known: no flush needed for len()
+    assert len(lazy) == sum(len(e) for e in batches)
+    assert lazy._pending, "len() must not flush pending device moments"
+
+    np.testing.assert_array_equal(np.asarray(lazy.mean), np.asarray(eager.mean))
+    np.testing.assert_array_equal(np.asarray(lazy.cov), np.asarray(eager.cov))
+    assert not lazy._pending
+    assert lazy.n == eager.n
+
+
+def test_add_moments_device_mixed_order_and_merge():
+    """Eager accumulation after pending device moments must flush first so
+    the merge order equals the arrival order; __iadd__ flushes both sides."""
+    rng = np.random.default_rng(12)
+    e1 = rng.normal(size=(20, 8)).astype(np.float32)
+    e2 = rng.normal(size=(30, 8)).astype(np.float32)
+    e3 = rng.normal(size=(10, 8)).astype(np.float32)
+
+    ref = AudioMetricsData(False)
+    for e in (e1, e2, e3):
+        n, s1, m2 = batch_moments(e)
+        ref.add_moments(n, s1, m2)
+
+    mixed = AudioMetricsData(False)
+    n, s1, m2 = batch_moments(e1)
+    mixed.add_moments_device(len(e1), s1, m2)
+    n, s1, m2 = batch_moments(e2)
+    mixed.add_moments(n, s1, m2)  # eager call must flush e1 first
+    other = AudioMetricsData(False)
+    n, s1, m2 = batch_moments(e3)
+    other.add_moments_device(len(e3), s1, m2)
+    mixed += other  # __iadd__ flushes other via property reads
+
+    np.testing.assert_array_equal(np.asarray(mixed.mean), np.asarray(ref.mean))
+    np.testing.assert_allclose(
+        np.asarray(mixed.cov), np.asarray(ref.cov), rtol=0, atol=1e-12
+    )
+    assert mixed.n == ref.n
+
+
+def test_add_moments_device_serialize_flushes():
+    rng = np.random.default_rng(13)
+    e = rng.normal(size=(25, 6)).astype(np.float32)
+    a = AudioMetricsData(False)
+    n, s1, m2 = batch_moments(e)
+    a.add_moments_device(len(e), s1, m2)
+    state = a.serialize()
+    b = AudioMetricsData.deserialize(state)
+    assert b.n == 25
+    np.testing.assert_allclose(b.mean, np.asarray(e, np.float64).mean(axis=0),
+                               rtol=1e-5, atol=1e-6)
