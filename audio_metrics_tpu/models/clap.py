@@ -398,6 +398,19 @@ def _load_params(ckpt: str, cfg: HTSATConfig = HTSAT_BASE) -> dict | None:
     path = resolve_checkpoint(ckpt)
     if path is None:
         return None
+    if str(path).endswith(".npz"):
+        # torch-free deployment format written by
+        # ``python -m audio_metrics_tpu convert`` — already in our key
+        # layout; still validated against the forward's key set
+        params = {k: np.asarray(v) for k, v in np.load(path).items()}
+        expected = expected_param_keys(cfg)
+        missing = expected - set(params)
+        if missing:
+            raise ValueError(
+                f"npz checkpoint {path} incomplete: {len(missing)} of "
+                f"{len(expected)} keys missing, e.g. {sorted(missing)[:5]}"
+            )
+        return {k: v for k, v in params.items() if k in expected}
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)

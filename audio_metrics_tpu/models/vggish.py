@@ -217,7 +217,17 @@ class VGGish(Embedder):
 
 
 def load_checkpoint(path: str) -> dict:
-    """Load a torchvggish .pth checkpoint from a local path."""
+    """Load a torchvggish .pth checkpoint (or the torch-free .npz written
+    by ``python -m audio_metrics_tpu convert``) from a local path."""
+    if str(path).endswith(".npz"):
+        params = {k: np.asarray(v) for k, v in np.load(path).items()}
+        expected = set(init_params())
+        missing = expected - set(params)
+        if missing:
+            raise ValueError(
+                f"npz checkpoint {path} incomplete: missing {sorted(missing)[:5]}"
+            )
+        return {k: v for k, v in params.items() if k in expected}
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
