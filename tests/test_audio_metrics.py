@@ -229,3 +229,33 @@ def test_custom_win_dur():
     assert am.stem_reference.n == 18
     out = am.evaluate(rng.random((9, 6 * SR)))
     assert np.isfinite(out["fad"])
+
+
+def test_lazy_tail_flush_order_equivalent(monkeypatch):
+    """AM_TPU_LAZY_TAIL=1 defers the candidate moment pull into the FAD
+    thread; results must equal the default (eager-flush) order exactly."""
+    import jax.numpy as jnp
+
+    import audio_metrics_tpu.audio_metrics as am_mod
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    ref = jnp.asarray(0.2 * rng.normal(size=(24, 5 * sr)).astype(np.float32))
+    cand = jnp.asarray(0.2 * rng.normal(size=(24, 5 * sr)).astype(np.float32))
+
+    results = {}
+    for lazy in (False, True):
+        monkeypatch.setattr(am_mod, "_LAZY_TAIL", lazy)
+        am = AudioMetrics(
+            embedder=DummyEmbedder(),
+            mix_function=mix_func,
+            metrics=["fad", "kd", "prdc"],
+            win_dur=5.0,
+            input_sr=sr,
+            batch_size=8,
+        )
+        am.add_reference(ref)
+        results[lazy] = am.evaluate(cand)
+    assert results[False].keys() == results[True].keys()
+    for k in results[False]:
+        np.testing.assert_array_equal(results[False][k], results[True][k]), k
