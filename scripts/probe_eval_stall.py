@@ -1,0 +1,81 @@
+"""Probe the recurring second-timed-evaluate stall (~4-14 s).
+
+Every recorded bench session shows the SAME shape: timed evaluate runs
+[fast, SLOW, fast] (ROADMAP.md verification notes).  This probe runs six
+consecutive evaluates after the standard warmup and brackets each with
+timers, plus a gc.collect() timer between runs, to separate:
+
+  (a) a deterministic one-time post-first-evaluate cost (cache write-back,
+      lazy host allocation),
+  (b) Python GC of the prior evaluate's device buffers hitting the
+      serialized relay stream,
+  (c) random relay jitter (would not favor run 2).
+
+Run: python scripts/probe_eval_stall.py   (real TPU, warm compile cache)
+"""
+
+import gc
+import json
+import os
+import time
+
+os.environ.setdefault("AM_TPU_COMPILE_CACHE", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_metrics_tpu import AudioMetrics
+from audio_metrics_tpu.models.clap import LaionCLAP
+
+SR = 48000
+N_CLIPS = 2048
+BATCH = 128
+
+
+def main():
+    n = int(SR * 5.0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    reference = 0.2 * jax.random.normal(k1, (N_CLIPS, n), jnp.float32)
+    candidate = 0.2 * jax.random.normal(k2, (N_CLIPS, n), jnp.float32)
+    jax.block_until_ready((reference, candidate))
+
+    emb = LaionCLAP(ckpt=None, compute_dtype="bfloat16", allow_random_weights=True)
+    am = AudioMetrics(
+        metrics=["fad", "kd", "prdc"],
+        embedder=emb,
+        mix_function="L0",
+        win_dur=5.0,
+        input_sr=SR,
+        batch_size=BATCH,
+    )
+    t0 = time.perf_counter()
+    am.add_reference(reference)
+    am.evaluate(candidate)
+    warm = time.perf_counter() - t0
+    am.reset_reference()
+    am.add_reference(reference)
+    print(json.dumps({"warmup_s": round(warm, 2)}), flush=True)
+
+    runs = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        am.evaluate(candidate)
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_collected = gc.collect()
+        gc_dt = time.perf_counter() - t0
+        runs.append(
+            {
+                "run": i + 1,
+                "evaluate_s": round(dt, 3),
+                "gc_s": round(gc_dt, 3),
+                "gc_collected": n_collected,
+            }
+        )
+        print(json.dumps(runs[-1]), flush=True)
+    print(json.dumps({"runs": [r["evaluate_s"] for r in runs]}))
+
+
+if __name__ == "__main__":
+    main()
