@@ -352,7 +352,7 @@ def _get_fused_embed_loop_sharded(embedder, batch_size: int, mesh):
             )
             # the carry becomes device-varying inside the body (the mask
             # depends on axis_index); mark the init to match
-            init = jax.tree.map(lambda x: jax.lax.pvary(x, axis), init)
+            init = jax.tree.map(lambda x: jax.lax.pcast(x, axis, to="varying"), init)
             buf, n_t, s1_t, m2_t = jax.lax.fori_loop(
                 0, local_n // batch_size, body, init
             )

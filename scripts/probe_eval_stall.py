@@ -17,13 +17,17 @@ Run: python scripts/probe_eval_stall.py   (real TPU, warm compile cache)
 import gc
 import json
 import os
+import sys
 import time
+
+# Make `python scripts/probe_eval_stall.py` work without touching PYTHONPATH
+# (which must keep /root/.axon_site for the TPU backend — see CLAUDE.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("AM_TPU_COMPILE_CACHE", "1")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from audio_metrics_tpu import AudioMetrics
 from audio_metrics_tpu.models.clap import LaionCLAP
@@ -71,6 +75,9 @@ def main():
                 "evaluate_s": round(dt, 3),
                 "gc_s": round(gc_dt, 3),
                 "gc_collected": n_collected,
+                # Per-stage clock from evaluate() — splits pipeline vs
+                # finalize so a stall can be localized, not just observed.
+                "timings": {k: round(v, 3) for k, v in am.timings.items()},
             }
         )
         print(json.dumps(runs[-1]), flush=True)
