@@ -231,4 +231,13 @@ def load_checkpoint(path: str) -> dict:
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
-    return convert_torch_state_dict(state)
+    params = convert_torch_state_dict(state)
+    expected = set(init_params())
+    missing = expected - set(params)
+    if missing:
+        raise ValueError(
+            f"torchvggish checkpoint {path} incomplete: {len(missing)} of "
+            f"{len(expected)} keys missing, e.g. {sorted(missing)[:5]} — "
+            "wrong checkpoint or layout drift"
+        )
+    return {k: v for k, v in params.items() if k in expected}
