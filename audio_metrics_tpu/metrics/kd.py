@@ -185,6 +185,30 @@ def _get_kd_rows():
     return _kd_rows
 
 
+@lru_cache(maxsize=None)
+def _get_kd_sharded(mesh, kparams):
+    """Cached jitted shard_map KD-subset runner for a mesh (a fresh closure
+    per call would retrace every evaluate — VERDICT r2 warmup audit)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(f1_loc, f2_loc, i1_loc, i2_loc):
+        one = lambda pair: _kd_one_subset(f1_loc, f2_loc, pair, kparams)
+        return jax.lax.map(one, (i1_loc, i2_loc))
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis)),
+            out_specs=(P(axis),) * 3,
+        )
+    )
+
+
 def _host_mmd2(sums, m):
     kt_xx, kt_yy, k_xy_sum = (np.asarray(r, dtype=np.float64) for r in sums)
     return (kt_xx + kt_yy) / (m * (m - 1)) - 2.0 * k_xy_sum / (m * m)
@@ -245,10 +269,6 @@ def _device_mmd2_subsets(
 
     n_subsets = idx_1.shape[0]
     if mesh is not None and mesh.size > 1:
-        from jax.sharding import PartitionSpec as P
-        from jax import shard_map
-
-        axis = mesh.axis_names[0]
         # pad the subset axis to a mesh multiple with duplicate rows (the
         # subsets are independent; the extra results are dropped) — the
         # reference default (100 subsets) is not divisible by 8 chips
@@ -257,18 +277,7 @@ def _device_mmd2_subsets(
             i1 = jnp.concatenate([i1, i1[:pad]], axis=0)
             i2 = jnp.concatenate([i2, i2[:pad]], axis=0)
 
-        def local(f1_loc, f2_loc, i1_loc, i2_loc):
-            one = lambda pair: _kd_one_subset(f1_loc, f2_loc, pair, kparams)
-            return jax.lax.map(one, (i1_loc, i2_loc))
-
-        run = jax.jit(
-            shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(P(), P(), P(axis), P(axis)),
-                out_specs=(P(axis),) * 3,
-            )
-        )
+        run = _get_kd_sharded(mesh, kparams)
         arrs = run(f1, f2, i1, i2)
 
         def reduce_fn(host_arrs):

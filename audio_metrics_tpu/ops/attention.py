@@ -61,6 +61,12 @@ def _x32_scope():
 
 _TARGET_BLOCK_BYTES = 2 * 1024 * 1024
 
+# COST-PROBE switch: replaces the v3/v4 window partition/reverse transposes
+# with pure reshapes.  WRONG MATH — never enable outside A/B cost probes;
+# it exists to bound the relayout cost in the full forward (the truncated-
+# kernel probe methodology is too noisy for this, see BASELINE.md).
+_PROBE_NOPART = os.environ.get("AM_TPU_PROBE_NOPART", "") == "1"
+
 
 def _kb_for(batch: int, per_image_bytes: int) -> int:
     kb = 1
@@ -608,11 +614,16 @@ def _attn_residual_rows(
         else:
             x4 = pltpu.roll(x4.astype(jnp.float32), height - shift, 1)
             x4 = pltpu.roll(x4, width - shift, 2).astype(dt)
-    xw = (
-        x4.reshape(kb, hb, window, wb, window, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(g * n, c)
-    )
+    if _PROBE_NOPART:
+        # COST PROBE ONLY (wrong math, identical shapes/op mix minus the
+        # transposes): bounds what the window-partition relayouts cost.
+        xw = x4.reshape(g * n, c)
+    else:
+        xw = (
+            x4.reshape(kb, hb, window, wb, window, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(g * n, c)
+        )
     xwf = xw.astype(jnp.float32)
     mu = jnp.mean(xwf, axis=-1, keepdims=True)
     var = jnp.mean((xwf - mu) * (xwf - mu), axis=-1, keepdims=True)
@@ -637,11 +648,14 @@ def _attn_residual_rows(
         )
         + bp_ref[:].astype(jnp.float32)
     )
-    o4 = (
-        ow.reshape(kb, hb, wb, window, window, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(kb, height, width, c)
-    )
+    if _PROBE_NOPART:
+        o4 = ow.reshape(kb, height, width, c)  # cost probe: see xw above
+    else:
+        o4 = (
+            ow.reshape(kb, hb, wb, window, window, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(kb, height, width, c)
+        )
     if shift:
         o4 = pltpu.roll(o4, shift, 1)
         o4 = pltpu.roll(o4, shift, 2)
@@ -812,6 +826,7 @@ def _swin_block_kernel_v4(
     shift: int,
     eps: float,
     grouped: bool,
+    gelu_mode: str,
     x_ref,
     wqkv_ref,
     bq_ref,
@@ -830,7 +845,7 @@ def _swin_block_kernel_v4(
     pallas_call: x is read from HBM once and the block output written once —
     the attention residual never round-trips HBM between the halves.
     The LN1 affine is pre-folded into wqkv/bq (see _fold_ln_affine)."""
-    from .mlp import _erf_f32
+    from .mlp import gelu_f32
 
     kb, height, width, c = x_ref.shape
     dt = x_ref.dtype
@@ -850,9 +865,7 @@ def _swin_block_kernel_v4(
     ).astype(dt)
 
     def gelu(t):
-        return t * jnp.float32(0.5) * (
-            jnp.float32(1.0) + _erf_f32(t * jnp.float32(0.70710678118654752))
-        )
+        return gelu_f32(t, gelu_mode)
 
     hidden = w1_ref.shape[1]
     nch = _MLP_CHUNKS
@@ -897,6 +910,12 @@ def _swin_block_kernel_v4(
 # at import (jit-cache caveat as AM_TPU_NO_PALLAS).
 _MLP_CHUNKS = int(os.environ.get("AM_TPU_MLP_CHUNKS", "1"))
 
+
+def _mlp_gelu_mode() -> str:
+    from .mlp import GELU_MODE
+
+    return GELU_MODE
+
 # VMEM budget for the v4 block-size heuristic.  Bigger kb amortizes the
 # per-grid-step weight DMA (at stage 2, kb=4 re-reads the block's 6.3 MB of
 # weights 32x per B=128 forward = 2.4 GB of HBM traffic); read once at
@@ -930,11 +949,11 @@ def _kb_for_v4(batch, height, width, c, heads, window, grouped=False) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("heads", "window", "shift", "eps", "grouped", "interpret"),
+    static_argnames=("heads", "window", "shift", "eps", "grouped", "gelu", "interpret"),
 )
 def _swin_block_call_v4(
     x, wqkv, bq, wp, bp, bmw, ln2_w, ln2_b, w1, b1, w2, b2,
-    heads, window, shift, eps, grouped, interpret,
+    heads, window, shift, eps, grouped, gelu, interpret,
 ):
     b, height, width, c = x.shape
     kb = _kb_for_v4(b, height, width, c, heads, window, grouped)
@@ -943,7 +962,7 @@ def _swin_block_call_v4(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_swin_block_kernel_v4, heads, window, shift, eps, grouped),
+        partial(_swin_block_kernel_v4, heads, window, shift, eps, grouped, gelu),
         grid=(b // kb,),
         in_specs=[
             pl.BlockSpec(
@@ -990,13 +1009,15 @@ def swin_block_pallas_v4(
     shift: int,
     eps: float = 1e-5,
     grouped: bool = False,
+    gelu: str | None = None,
     interpret: bool = False,
 ):
     """Whole swin block (v3 attention + MLP) in one kernel.  Attention
     weight layout as in v3; w1: (C, 4C), w2: (4C, C) input-major.
     ln_w/ln_b may be None when the LN1 affine is already folded into
     wqkv/bq3 (models/htsat._v3_kernel_weights does this).  ``grouped``
-    enables the 128-lane head-group score/context path."""
+    enables the 128-lane head-group score/context path; ``gelu`` the
+    in-kernel GELU flavor (default: mlp.GELU_MODE / AM_TPU_GELU)."""
     if ln_w is not None:
         wqkv, bq3 = _fold_ln_affine(ln_w, ln_b, wqkv, bq3)
     nw, h_, n, _ = bias_mask.shape
@@ -1022,5 +1043,6 @@ def swin_block_pallas_v4(
             int(shift),
             float(eps),
             bool(grouped),
+            gelu or _mlp_gelu_mode(),
             interpret,
         )

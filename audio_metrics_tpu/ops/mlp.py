@@ -14,6 +14,7 @@ remains the fallback (CPU, or AM_TPU_NO_PALLAS=1).
 from __future__ import annotations
 
 import contextlib
+import os
 from functools import partial
 
 import jax
@@ -66,7 +67,52 @@ def _erf_f32(x):
     return sign * (jnp.float32(1.0) - poly * jnp.exp(-ax * ax))
 
 
-def _mlp_kernel(eps: float, x_ref, ln_w_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+# GELU multiplier Phi(x) = 0.5*(1+erf(x/sqrt2)) as an odd degree-17
+# polynomial 0.5 + x*P(x^2) on |x| <= 4.5 (input clamped; Phi saturates to
+# within 1.75e-5 of 0/1 at the clamp).  Lawson-reweighted Chebyshev fit
+# minimizing the ACTIVATION error |x*(Phi_hat-Phi)|: f32-Horner max abs
+# error 7.3e-5, max rel 2.7e-4 over all of R (scripts/gen_gelu_poly
+# derivation inline in git history) — sub-ULP after the kernels' bf16 cast
+# of the hidden tensor.  Why: the exact-erf chain costs a divide + an exp
+# per element over the (rows, 4C) f32 hidden tensor (measured erf 1.28 vs
+# relu 0.80 ms/blk at stage 0 — VPU passes); this is 10 fma + 2 muls + a
+# 2-op clamp, no divide, no exp, no sign select.
+_GELU_POLY_B = 4.5
+_GELU_POLY = (
+    0.39871258,
+    -0.06598459,
+    0.009585164,
+    -0.0010375798,
+    8.142333e-05,
+    -4.4515587e-06,
+    1.590905e-07,
+    -3.3143954e-09,
+    3.0361026e-11,
+)
+
+# Default GELU flavor for the fused kernels: "exact" (erf via A&S 7.1.26)
+# or "poly" (the bounded-error polynomial above).  Read once at import
+# (jit-cache caveat as AM_TPU_NO_PALLAS); call sites may override.
+GELU_MODE = os.environ.get("AM_TPU_GELU", "exact")
+
+
+def gelu_f32(y, mode: str):
+    """y (f32) -> gelu(y) (f32) inside a Pallas kernel."""
+    if mode == "poly":
+        xc = jnp.clip(y, jnp.float32(-_GELU_POLY_B), jnp.float32(_GELU_POLY_B))
+        r = xc * xc
+        p = jnp.float32(_GELU_POLY[-1])
+        for v in _GELU_POLY[-2::-1]:
+            p = p * r + jnp.float32(v)
+        return y * (xc * p + jnp.float32(0.5))
+    return (
+        y
+        * jnp.float32(0.5)
+        * (jnp.float32(1.0) + _erf_f32(y * jnp.float32(0.7071067811865476)))
+    )
+
+
+def _mlp_kernel(eps: float, gelu: str, x_ref, ln_w_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     dt = x_ref.dtype
     xin = x_ref[:]
     xf = xin.astype(jnp.float32)
@@ -79,16 +125,15 @@ def _mlp_kernel(eps: float, x_ref, ln_w_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b
     y = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[
         :
     ].astype(jnp.float32)
-    # erf GELU in f32, matching jax.nn.gelu(approximate=False) to ~1.5e-7
-    y = y * jnp.float32(0.5) * (jnp.float32(1.0) + _erf_f32(y * jnp.float32(0.7071067811865476)))
+    y = gelu_f32(y, gelu)
     z = jnp.dot(y.astype(dt), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[
         :
     ].astype(jnp.float32)
     out_ref[:] = (z + xf).astype(dt)
 
 
-@partial(jax.jit, static_argnames=("eps", "interpret"))
-def _mlp_call(x, ln_w, ln_b, w1, b1, w2, b2, eps, interpret):
+@partial(jax.jit, static_argnames=("eps", "gelu", "interpret"))
+def _mlp_call(x, ln_w, ln_b, w1, b1, w2, b2, eps, gelu, interpret):
     rows, c = x.shape
     hidden = w1.shape[1]
     t = _tile_rows(rows, c, x.dtype.itemsize)
@@ -96,7 +141,7 @@ def _mlp_call(x, ln_w, ln_b, w1, b1, w2, b2, eps, interpret):
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_mlp_kernel, eps),
+        partial(_mlp_kernel, eps, gelu),
         grid=(rows // t,),
         in_specs=[
             pl.BlockSpec((t, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -226,11 +271,15 @@ def mlp_block_pallas_int8(
     return out.reshape(shape)
 
 
-def mlp_block_pallas(x, ln_w, ln_b, w1, b1, w2, b2, eps: float = 1e-5, interpret=False):
+def mlp_block_pallas(
+    x, ln_w, ln_b, w1, b1, w2, b2, eps: float = 1e-5, gelu: str | None = None,
+    interpret=False,
+):
     """x + fc2(gelu(fc1(LN(x)))) over the last axis.
 
     x: (..., C) — leading dims are flattened into the row tile.  w1: (C, 4C),
-    w2: (4C, C) (already transposed to input-major), biases f32.
+    w2: (4C, C) (already transposed to input-major), biases f32.  ``gelu``
+    selects the in-kernel GELU flavor (default: GELU_MODE / AM_TPU_GELU).
     """
     shape = x.shape
     rows = 1
@@ -246,6 +295,7 @@ def mlp_block_pallas(x, ln_w, ln_b, w1, b1, w2, b2, eps: float = 1e-5, interpret
             w2,
             b2,
             float(eps),
+            gelu or GELU_MODE,
             interpret,
         )
     return out.reshape(shape)

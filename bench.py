@@ -61,6 +61,30 @@ def _cache_state():
         return "cold"
 
 
+# Warmup attribution (VERDICT r2 #3: the driver-observed warmup ranged
+# 46-544 s with a warm cache; every regression must be attributable).
+# jax emits per-phase durations: jaxpr trace + MLIR lowering are host
+# single-core Python/C++ work (contention-sensitive), backend_compile is
+# the XLA compile (should be ~0 on a warm persistent cache).
+_JAX_PHASES = {}
+
+
+def _phase_listener(event, duration, **_kw):
+    key = event.rsplit("/", 1)[-1].replace("_duration", "")
+    _JAX_PHASES[key] = _JAX_PHASES.get(key, 0.0) + duration
+
+
+def _warmup_breakdown(total_s, t_add, t_eval):
+    tracked = sum(_JAX_PHASES.values())
+    return {
+        "total_s": round(total_s, 2),
+        "add_reference_s": round(t_add, 2),
+        "evaluate_s": round(t_eval, 2),
+        **{k: round(v, 2) for k, v in sorted(_JAX_PHASES.items())},
+        "untracked_s": round(max(0.0, total_s - tracked), 2),
+    }
+
+
 
 
 def _clap_embedder():
@@ -193,13 +217,26 @@ def main():
 
     # warmup: compile embed/moment programs AND the metric programs (KD
     # subset loop, PRDC kernels, FAD) via one full add_reference + evaluate
+    import jax.monitoring
+
+    jax.monitoring.register_event_duration_secs_listener(_phase_listener)
     t0 = time.perf_counter()
     am.add_reference(reference)
+    t_wadd = time.perf_counter() - t0
     am.evaluate(candidate)
     warmup_s = time.perf_counter() - t0
+    breakdown = _warmup_breakdown(warmup_s, t_wadd, warmup_s - t_wadd)
     am.reset_reference()
     if PRECOMPILE:
-        print(json.dumps({"precompiled": "stems", "warmup_s": round(warmup_s, 2)}))
+        print(
+            json.dumps(
+                {
+                    "precompiled": "stems",
+                    "warmup_s": round(warmup_s, 2),
+                    "warmup_breakdown": breakdown,
+                }
+            )
+        )
         return
 
     t0 = time.perf_counter()
@@ -240,6 +277,7 @@ def main():
                     "n_clips": N_CLIPS,
                     "batch_size": BATCH_SIZE,
                     "warmup_s": round(warmup_s, 2),
+                    "warmup_breakdown": breakdown,
                     "add_reference_s": round(t_ref, 2),
                     "evaluate_s": round(t_eval, 2),
                     "evaluate_s_runs": [round(t, 3) for t in t_evals],

