@@ -286,6 +286,7 @@ def main():
                         k: round(v, 3) for k, v in am.timings.items()
                     },
                     "real_weights": bool(embedder.real_weights),
+                    "gelu_mode": os.environ.get("AM_TPU_GELU", "poly"),
                     "compile_cache_at_start": _CACHE_STATE,
                     "metrics": {k: float(v) for k, v in result.items()},
                 }

@@ -220,7 +220,7 @@ def test_mlp_block_kernel_matches_xla():
     xn = (x - mu) / jnp.sqrt(var + 1e-5) * lnw + lnb
     ref = x + (jax.nn.gelu(xn @ w1 + b1, approximate=False) @ w2 + b2)
 
-    out = mlp_block_pallas(x, lnw, lnb, w1, b1, w2, b2, interpret=True)
+    out = mlp_block_pallas(x, lnw, lnb, w1, b1, w2, b2, gelu="exact", interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
@@ -534,7 +534,7 @@ def test_swin_block_v4_matches_xla(stage, shift):
         heads, window, shift,
     )
     got = swin_block_pallas_v4(
-        *v4_args, eps=cfg.layer_norm_eps, interpret=True,
+        *v4_args, eps=cfg.layer_norm_eps, gelu="exact", interpret=True,
     ).reshape(B, res * res, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
@@ -570,9 +570,22 @@ def test_wired_v4_helper_matches_xla(stage, shift):
     x = jnp.asarray(rng.normal(size=(B, res * res, c)).astype(np.float32))
 
     want = _swin_block(x, params, prefix, cfg, res, shift, heads, stage=stage)
+    # production default (poly GELU): package 1e-4-class envelope
     got = _whole_block_pallas_v4(
         x, params, prefix, cfg, res, shift, heads, window, interpret=True
     )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1.5e-4)
+    # exact-erf flavor: tight structural parity with the XLA block
+    import audio_metrics_tpu.ops.mlp as mlp_mod
+
+    orig = mlp_mod.GELU_MODE
+    mlp_mod.GELU_MODE = "exact"
+    try:
+        got = _whole_block_pallas_v4(
+            x, params, prefix, cfg, res, shift, heads, window, interpret=True
+        )
+    finally:
+        mlp_mod.GELU_MODE = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
@@ -714,7 +727,7 @@ def test_swin_block_v4_grouped_matches_xla(stage, shift):
         params[f"{prefix}.output.dense.weight"].T.astype(jnp.float32),
         params[f"{prefix}.output.dense.bias"].astype(jnp.float32),
         heads, window, shift, eps=cfg.layer_norm_eps, grouped=True,
-        interpret=True,
+        gelu="exact", interpret=True,
     ).reshape(B, res * res, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
