@@ -281,11 +281,14 @@ def prdc(reference, candidate, nearest_k: int, mesh=None, lazy: bool = False):
         and reference.has_embeddings
         and candidate.has_embeddings
     ):
-        # the common evaluate path: all remaining kNN radii + both pairwise
-        # sweeps in ONE jitted program and NO host sync at dispatch — the
+        # the common evaluate path: candidate kNN radii + both pairwise
+        # sweeps in one jitted program and NO host sync at dispatch — the
         # outputs stay on device until finalize(), so a lazy caller overlaps
         # host work (FAD's f64 math) with the sweeps.  Cached reference
-        # radii (warm across evaluate() calls) skip the reference kNN sweep.
+        # radii (warm across evaluate() calls) skip the reference kNN sweep;
+        # the first call computes them with the standalone kNN program so
+        # every evaluate runs the SAME sweeps program (no second jit variant
+        # left to compile on evaluate #2 — the old 4-14 s stall).
         from ..ops.distance import prdc_all_pallas_device
 
         try:

@@ -284,20 +284,6 @@ def _stats_calls(ref, cand, rr_in, cr_in, interpret: bool):
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
-def _prdc_all_call(ref, cand, k: int, interpret: bool):
-    """Both k-NN radii sweeps AND both PRDC pairwise sweeps in one jitted
-    program: the radii never leave the device between the kNN and stats
-    kernels, and the caller syncs once for all six outputs (each separate
-    dispatch/pull is a full round-trip on remote-device links)."""
-    ref_radii = _knn_call(ref, min(k + 1, ref.shape[0]), interpret)
-    cand_radii = _knn_call(cand, min(k + 1, cand.shape[0]), interpret)
-    cand_any, cand_count, ref_any, ref_min = _stats_calls(
-        ref, cand, ref_radii, cand_radii, interpret
-    )
-    return ref_radii, cand_radii, cand_any, cand_count, ref_any, ref_min
-
-
-@partial(jax.jit, static_argnames=("k", "interpret"))
 def _prdc_given_rr_call(ref, cand, ref_radii, k: int, interpret: bool):
     """Candidate radii + both PRDC sweeps given precomputed (cached)
     reference radii — the warm-reference evaluate path in one dispatch."""
@@ -314,18 +300,25 @@ def prdc_all_pallas_device(
     pull everything in its finalize.  Returns (ref_radii, cand_radii,
     cand_in_ref_any, cand_in_ref_count, ref_in_cand_any, ref_min_dist).
     When ``ref_radii`` is given (the reference side is cached across
-    evaluate() calls), only the candidate's kNN sweep runs."""
+    evaluate() calls), only the candidate's kNN sweep runs.
+
+    The first call (no cached radii) computes the reference radii with the
+    standalone kNN program and then runs the SAME cached-radii program every
+    later evaluate uses — two dispatches instead of one, but no second
+    jitted variant is left to compile (and push its executable through a
+    remote-device link) on the second evaluate.  The previous all-in-one
+    first-call program (_prdc_all_call) was exactly the cause of the
+    deterministic 4-14 s second-evaluate stall: scripts/probe_eval_stall.py
+    pinned the stall to prdc_dispatch, where _prdc_given_rr_call compiled
+    on its first (warm-reference) use."""
     with _x32_scope():
+        ref = jnp.asarray(reference)
         if ref_radii is None:
-            return _prdc_all_call(
-                jnp.asarray(reference),
-                jnp.asarray(candidate),
-                int(nearest_k),
-                interpret,
-            )
-        rr = jnp.asarray(ref_radii, dtype=jnp.float32)
+            rr = _knn_call(ref, min(int(nearest_k) + 1, ref.shape[0]), interpret)
+        else:
+            rr = jnp.asarray(ref_radii, dtype=jnp.float32)
         out = _prdc_given_rr_call(
-            jnp.asarray(reference),
+            ref,
             jnp.asarray(candidate),
             rr,
             int(nearest_k),
