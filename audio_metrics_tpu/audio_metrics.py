@@ -63,14 +63,22 @@ class AudioMetrics:
         input_sr=None,
         batch_size=32,
         progress=False,
+        dcn_slices=None,
     ):
         """``hop_dur`` (seconds) enables overlapping windows (hop < win);
         default None means non-overlapping, the reference behaviour (its
         ``audio_slicer`` supports a hop too but never exposes it,
         reference util/audio.py:4-9).  Note: ``hop_dur`` routes streaming
         input through the Python feeder — the native (C++) batcher cuts
-        non-overlapping windows only."""
-        self.mesh = self._get_mesh(device_indices)
+        non-overlapping windows only.
+
+        ``dcn_slices`` (or ``AM_TPU_DCN_SLICES``): build a 2-D
+        ``("dcn", "data")`` mesh for pod-scale evaluation across multiple
+        ICI slices — the batch shards over both axes and only KB-sized
+        moment/metric partials ever cross DCN (parallel/mesh.py)."""
+        if dcn_slices is None:
+            dcn_slices = int(os.environ.get("AM_TPU_DCN_SLICES", "0")) or None
+        self.mesh = self._get_mesh(device_indices, dcn_slices)
         self.metrics = metrics
         self.need_apa = "apa" in self.metrics
         self.win_dur = win_dur
@@ -130,10 +138,10 @@ class AudioMetrics:
             metric in self._need_embeddings for metric in self.metrics
         )
 
-    def _get_mesh(self, device_indices):
+    def _get_mesh(self, device_indices, dcn_slices=None):
         if device_indices or device_indices is None:
             try:
-                return make_mesh(device_indices)
+                return make_mesh(device_indices, dcn_slices=dcn_slices)
             except RuntimeError as exc:
                 if device_indices is not None:
                     # the user ASKED for specific devices; a silent

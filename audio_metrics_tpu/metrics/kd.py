@@ -193,7 +193,9 @@ def _get_kd_sharded(mesh, kparams):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
+    from ..parallel.mesh import batch_axes
+
+    axis = batch_axes(mesh)  # compound: every mesh axis (1-D or DCN 2-D)
 
     def local(f1_loc, f2_loc, i1_loc, i2_loc):
         one = lambda pair: _kd_one_subset(f1_loc, f2_loc, pair, kparams)

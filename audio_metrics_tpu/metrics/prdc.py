@@ -106,7 +106,9 @@ def _get_knn_sharded(mesh, k: int):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
+    from ..parallel.mesh import batch_axes
+
+    axis = batch_axes(mesh)  # compound: every mesh axis (1-D or DCN 2-D)
 
     def local(rows, full):
         n_tiles = rows.shape[0] // _BLOCK

@@ -303,8 +303,10 @@ def _get_fused_embed_loop_sharded(embedder, batch_size: int, mesh):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    from .mesh import batch_axes
+
     embed_fn = embedder.embed_fn
-    axis = mesh.axis_names[0]
+    axis = batch_axes(mesh)  # compound axis: every mesh axis (1-D or DCN 2-D)
     n_dev = mesh.size
 
     @jax.jit
@@ -378,15 +380,15 @@ def _run_fused_embed(embedder, w, n, batch_size, mesh):
     """
     sharded = mesh is not None and getattr(mesh, "size", 1) > 1
     if sharded:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .mesh import batch_sharding, replicated_sharding
 
         n_dev = mesh.size
         pad = (-w.shape[0]) % (batch_size * n_dev)
         if pad:
             w = jnp.pad(w, ((0, pad), (0, 0)))
-        w = jax.device_put(w, NamedSharding(mesh, P(mesh.axis_names[0])))
+        w = jax.device_put(w, batch_sharding(mesh))
         params = getattr(embedder, "params", {})
-        params = jax.device_put(params, NamedSharding(mesh, P()))
+        params = jax.device_put(params, replicated_sharding(mesh))
         loop = _get_fused_embed_loop_sharded(embedder, batch_size, mesh)
         buf, nn, s1, m2 = loop(params, w, jnp.asarray(n, jnp.int32))
         nn, s1, m2 = jax.device_get((nn, s1, m2))
@@ -706,11 +708,11 @@ def embedding_pipeline(
     # moment sums.  Batch size must tile evenly over the chips.
     batch_sharding_ = None
     if mesh is not None and getattr(mesh, "size", 1) > 1:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from .mesh import batch_sharding
 
         if batch_size % mesh.size:
             batch_size = -(-batch_size // mesh.size) * mesh.size
-        batch_sharding_ = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        batch_sharding_ = batch_sharding(mesh)
         if hasattr(embedder, "shard"):
             embedder.shard(mesh)
 

@@ -290,3 +290,112 @@ def test_explicit_bad_device_indices_raise():
     back to single-device (VERDICT r1 weak #4)."""
     with pytest.raises((RuntimeError, ValueError, IndexError)):
         AudioMetrics(metrics=["fad"], embedder="dummy", device_indices=[99, 100])
+
+
+# ----------------------------------------------------------------------
+# Multi-slice (DCN) 2-D meshes: ("dcn", "data"), batch sharded over both
+# ----------------------------------------------------------------------
+@requires_8_devices
+def test_dcn_mesh_construction():
+    mesh = make_mesh(dcn_slices=2)
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+    from audio_metrics_tpu.parallel.mesh import batch_axes, batch_sharding
+
+    assert batch_axes(mesh) == ("dcn", "data")
+    spec = batch_sharding(mesh).spec
+    assert spec[0] == ("dcn", "data")
+    with pytest.raises(ValueError):
+        make_mesh(dcn_slices=3)  # 8 devices don't divide into 3 slices
+
+
+@requires_8_devices
+def test_dcn_fused_embed_loop_matches_single():
+    """The fused embed loop sharded over a 2-D ("dcn", "data") mesh must
+    match single-device execution (pod-scale analog of the 1-D case)."""
+    from audio_metrics_tpu.parallel.pipeline import _run_fused_embed
+    from audio_metrics_tpu.data import AudioMetricsData
+    import jax.numpy as jnp
+
+    mesh = make_mesh(dcn_slices=4)
+    assert mesh.devices.shape == (4, 2)
+    emb = DummyEmbedder()
+    rng = np.random.default_rng(7)
+    n = 70  # not a multiple of batch*n_dev: exercises padding+masking
+    w = jnp.asarray(rng.normal(size=(n, 4000)).astype(np.float32))
+
+    buf1, t1 = _run_fused_embed(emb, w, n, batch_size=8, mesh=None)
+    buf8, t8 = _run_fused_embed(emb, w, n, batch_size=8, mesh=mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(buf8)[:n], np.asarray(buf1)[:n], rtol=1e-5, atol=1e-6
+    )
+    a1 = AudioMetricsData(False)
+    for trip in t1:
+        a1.add_moments(*trip)
+    a8 = AudioMetricsData(False)
+    for trip in t8:
+        a8.add_moments(*trip)
+    assert a1.n == a8.n == n
+    np.testing.assert_allclose(a8.mean, a1.mean, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a8.cov, a1.cov, rtol=1e-4, atol=1e-5)
+
+
+@requires_8_devices
+def test_dcn_kd_and_prdc_radii_match_single():
+    from audio_metrics_tpu.metrics.kd import kid_features_to_metric
+    from audio_metrics_tpu.metrics.prdc import nearest_neighbour_distances
+
+    rng = np.random.default_rng(8)
+    mesh = make_mesh(dcn_slices=2)
+    f1 = rng.normal(size=(400, 24)).astype(np.float32)
+    f2 = rng.normal(loc=0.1, size=(380, 24)).astype(np.float32)
+    kwargs = dict(kid_subsets=16, kid_subset_size=128)
+    want = kid_features_to_metric(f1, f2, **kwargs)
+    got = kid_features_to_metric(f1, f2, mesh=mesh, **kwargs)
+    np.testing.assert_allclose(
+        got["kernel_distance_mean"], want["kernel_distance_mean"], rtol=1e-6
+    )
+    x = rng.normal(size=(500, 16)).astype(np.float32)
+    want_r = nearest_neighbour_distances(x, 5)
+    got_r = nearest_neighbour_distances(x, 5, mesh=mesh)
+    np.testing.assert_allclose(got_r, want_r, rtol=1e-4, atol=1e-5)
+
+
+@requires_8_devices
+def test_dcn_public_api_matches_single():
+    """Full public-API eval over a 2-D ("dcn", "data") mesh == single
+    device (constructor dcn_slices kwarg / AM_TPU_DCN_SLICES env)."""
+    rng = np.random.default_rng(9)
+    sr = 16000
+    reference = rng.random((24, 5 * sr, 2))
+    candidate = rng.random((24, 5 * sr, 2))
+
+    def build(device_indices, dcn_slices=None):
+        return AudioMetrics(
+            embedder=FullRankDummy(),
+            mix_function=mix_func,
+            metrics=["fad", "kd", "prdc", "apa"],
+            device_indices=device_indices,
+            batch_size=16,
+            dcn_slices=dcn_slices,
+        )
+
+    import random
+
+    am_multi = build(None, dcn_slices=2)
+    assert am_multi.mesh is not None and am_multi.mesh.devices.shape == (2, 4)
+    random.seed(43)  # the APA shuffles draw from the global rng
+    am_multi.add_reference(reference)
+    r_multi = am_multi.evaluate(candidate)
+
+    am_single = build([0])
+    random.seed(43)
+    am_single.add_reference(reference)
+    r_single = am_single.evaluate(candidate)
+
+    assert set(r_multi) == set(r_single)
+    for k in r_single:
+        np.testing.assert_allclose(
+            r_multi[k], r_single[k], rtol=2e-3, atol=1e-6, err_msg=k
+        )
