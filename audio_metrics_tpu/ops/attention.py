@@ -67,6 +67,14 @@ _TARGET_BLOCK_BYTES = 2 * 1024 * 1024
 # kernel probe methodology is too noisy for this, see BASELINE.md).
 _PROBE_NOPART = os.environ.get("AM_TPU_PROBE_NOPART", "") == "1"
 
+# Post-scale softmax in the v3/v4 kernels: contract the UNNORMALIZED exp
+# with the block-diagonal V and apply the per-(row, head) reciprocal to the
+# narrow (n, gw) context instead of the wide (n, heads*n) probabilities.
+# Exact up to reassociation (the reciprocal is constant over each head's
+# contribution lanes because vw is block-diagonal); saves the gh->gn spread
+# matmul and turns the wide e*rw multiply into a gw-wide one.  Opt-out.
+_ATTN_POSTSCALE = os.environ.get("AM_TPU_ATTN_NOPOSTSCALE", "") != "1"
+
 
 def _kb_for(batch: int, per_image_bytes: int) -> int:
     kb = 1
@@ -509,6 +517,12 @@ def _attn_windows_to_ctx(
         jax.lax.broadcasted_iota(jnp.int32, (gn, gh), 0) // n
         == jax.lax.broadcasted_iota(jnp.int32, (gn, gh), 1)
     ).astype(jnp.float32)
+    if _ATTN_POSTSCALE:
+        # segment -> lane spread (gh, gw): lane c belongs to head c // d
+        sel_lane = (
+            jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) // d
+        ).astype(jnp.float32)
 
     parts = []
     for j in range(ngroups):
@@ -548,19 +562,38 @@ def _attn_windows_to_ctx(
         den = jax.lax.dot_general(
             e, sel, dimension_numbers=(((2,), (0,)), ((), ()))
         )  # (g, n, gh)
-        rw = jax.lax.dot_general(
-            1.0 / den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
-        )  # (g, n, gn)
-        p = (e * rw).astype(dt)
-
-        parts.append(
-            jax.lax.dot_general(
-                p,
+        if _ATTN_POSTSCALE:
+            # contract the unnormalized exp with the block-diagonal V, then
+            # scale the NARROW (n, gw) context by the per-(row, head)
+            # reciprocal spread to that head's d lanes.  Exact modulo
+            # reassociation: within head h's output lanes only segment-h
+            # rows of vw are nonzero, so 1/den[:, h] is a constant factor
+            # of every contributing term.  Overflow-safe: e <= exp(80) and
+            # n <= 64, so the f32 partial sums stay < 2^127.
+            raw = jax.lax.dot_general(
+                e.astype(dt),
                 vw,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # (g, n, gw): head h's context already in its own lane range
-        )
+            )  # (g, n, gw), unnormalized
+            rwl = jax.lax.dot_general(
+                1.0 / den, sel_lane, dimension_numbers=(((2,), (0,)), ((), ()))
+            )  # (g, n, gw)
+            parts.append(raw * rwl)
+        else:
+            rw = jax.lax.dot_general(
+                1.0 / den, sel, dimension_numbers=(((2,), (1,)), ((), ()))
+            )  # (g, n, gn)
+            p = (e * rw).astype(dt)
+
+            parts.append(
+                jax.lax.dot_general(
+                    p,
+                    vw,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (g, n, gw): head h's context in its own lane range
+            )
     return parts[0] if ngroups == 1 else jnp.concatenate(parts, axis=-1)
 
 
