@@ -118,3 +118,34 @@ def test_prdc_metric_warm_reference_cache_path():
     assert warm_cand.radii.get(f"radii_{k}") is not None
     for key in ("precision", "recall", "density", "coverage"):
         np.testing.assert_allclose(cold[key], warm[key], rtol=0, atol=0)
+
+
+def test_prdc_one_sweeps_program_for_cold_and_warm_calls():
+    """Regression guard for the second-evaluate stall (round 3): the cold
+    (no cached reference radii) and warm calls must route through the SAME
+    jitted sweeps program — a separate cold-call variant is exactly what
+    compiled (and pushed its executable through the remote relay) on the
+    second evaluate of every session."""
+    import numpy as np
+    import jax
+    from audio_metrics_tpu.ops import distance
+
+    rng = np.random.default_rng(13)
+    # shapes unique to this test: the assertion counts jit-cache entries
+    ref = rng.normal(size=(270, 32)).astype(np.float32)
+    cand = rng.normal(size=(390, 32)).astype(np.float32)
+    k = 6
+
+    before = distance._prdc_given_rr_call._cache_size()
+    cold = distance.prdc_all_pallas_device(ref, cand, k, interpret=True)
+    rr = np.asarray(jax.device_get(cold[0]))
+    warm = distance.prdc_all_pallas_device(
+        ref, cand, k, ref_radii=rr, interpret=True
+    )
+    after = distance._prdc_given_rr_call._cache_size()
+    # both calls share ONE compiled sweeps program (same shapes/statics)
+    assert after - before == 1, (before, after)
+    for c, w in zip(jax.device_get(cold), jax.device_get(warm)):
+        np.testing.assert_allclose(
+            np.asarray(c, np.float64), np.asarray(w, np.float64)
+        )
