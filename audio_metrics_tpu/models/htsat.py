@@ -489,21 +489,22 @@ def _whole_block_pallas_v4(
 
 
 # Per-stage v4 dispatch: comma list of {stage}{u|s} entries (u = unshifted
-# blocks, s = shifted).  Re-swept after the reduce-free softmax + head
-# grouping changed the overlap economics (v5e full-forward A/B,
-# scripts/ab_forward.py 30-iter): 2u,2s,0u,0s,1u,1s gives 19.68 ms at B=64
-# (tie with 2u,2s,0u,0s 19.62 / 2u,2s 20.19) and the best B=128 number,
-# 36.72 ms (18.4 ms/64 clips).  Stage-3 entries still lose (2u,2s,3u
-# 20.58).  Pre-softmax-fix the stage-0/1 entries LOST (1u 23.90, 1s 24.10
-# vs 2u,2s 22.87) — the whole-block kernel serialized VPU work that XLA
-# overlapped; with the softmax reduced to clamped-exp + selector matmuls
-# there is little left to overlap and fusion wins.  Read once at import —
-# toggling after the first forward would be silently ignored by the jit
-# cache (same caveat as AM_TPU_NO_PALLAS).
+# blocks, s = shifted).  Re-swept after each kernel-economics change (v5e
+# full-forward A/B, scripts/ab_forward.py 30-iter).  Post-scale-softmax
+# round (B=128, poly GELU): 2u,2s,0u,0s,1u,1s,3u **32.30 ms** vs
+# ...,1u,1s 32.57-32.69 / +3u,3s 32.34 / 2u,2s,0u,0s 32.91 / none 34.77 —
+# with the softmax reduced to clamped exp + narrow post-contraction
+# scaling there is nothing left for XLA to overlap even at stage 3's few
+# windows, so whole-block fusion now wins everywhere except the shifted
+# stage-3 entry (tie).  History: pre-softmax-fix the stage-0/1 entries
+# LOST (1u 23.90, 1s 24.10 vs 2u,2s 22.87 at B=64) and stage-3 lost
+# through the previous round (2u,2s,3u 20.58 vs 19.68).  Read once at
+# import — toggling after the first forward would be silently ignored by
+# the jit cache (same caveat as AM_TPU_NO_PALLAS).
 _V4_STAGES = frozenset(
     s.strip()
     for s in os.environ.get(
-        "AM_TPU_V4_STAGES", "2u,2s,0u,0s,1u,1s"
+        "AM_TPU_V4_STAGES", "2u,2s,0u,0s,1u,1s,3u"
     ).split(",")
     if s.strip()
 )

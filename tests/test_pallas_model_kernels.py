@@ -549,7 +549,7 @@ def test_swin_block_v4_matches_xla(stage, shift):
     np.testing.assert_allclose(np.asarray(got_poly), np.asarray(want), atol=3e-4)
 
 @pytest.mark.parametrize(
-    "stage,shift", [(0, 0), (0, 4), (1, 0), (1, 4), (2, 0), (2, 4)]
+    "stage,shift", [(0, 0), (0, 4), (1, 0), (1, 4), (2, 0), (2, 4), (3, 0)]
 )
 def test_wired_v4_helper_matches_xla(stage, shift):
     """The model-side v4 wiring (_whole_block_pallas_v4: shared
