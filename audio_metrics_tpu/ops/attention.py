@@ -555,8 +555,10 @@ def _attn_windows_to_ctx(
         # 64*e^-80 > 0 so the segment sums never hit 0/inf) and only
         # engages on pathological inputs (LN'd activations give |s| <~ 30).
         # The wide divide becomes a reciprocal on the NARROW (g, n, gh)
-        # segment sums spread by the selector matmul.  The cross-lane max
-        # reduce + wide divide were measured as THE stage-0 cost
+        # segment sums — by default applied POST-contraction to the (n, gw)
+        # context (see _ATTN_POSTSCALE above; 33.44 -> 32.69 ms/128), else
+        # spread over gn by the selector matmul.  The cross-lane max reduce
+        # + wide divide were measured as THE stage-0 cost
         # (scripts/probe_stage0.py: softmax +1.11 ms of the 2.2 ms block).
         e = jnp.exp(jnp.clip(s, -80.0, 80.0))
         den = jax.lax.dot_general(
