@@ -87,6 +87,71 @@ def _batch_moments_jit(e):
     return fn(e)
 
 
+def _packable_dim(m2) -> int | None:
+    """Return d when ``m2`` is a device-resident square (d, d) array large
+    enough that pulling only its lower triangle beats the extra device
+    dispatch (remote-device links are per-byte: the (512, 512) f32 moment is
+    ~1 MB = ~37 ms through the 27 MB/s dev relay; packed it is ~19 ms)."""
+    import os
+
+    if os.environ.get("AM_TPU_NO_PACKED_PULL"):
+        return None
+    if isinstance(m2, np.ndarray) or getattr(m2, "ndim", 0) != 2:
+        return None
+    d = m2.shape[0]
+    if m2.shape[1] != d or d < 128:
+        return None
+    return d
+
+
+def _pack_tril_jit(m2):
+    """Device-side lower-triangle pack of a symmetric (d, d) moment.
+
+    One cached jit (retraces per shape).  ``m2 = c^T c`` is symmetric by
+    construction; the MXU computes (i, j) and (j, i) with the same reduction
+    order, so mirroring the packed triangle on host reproduces the full
+    matrix bitwise (pinned by tests/test_data.py::test_packed_pull_parity).
+    """
+    global _PACK_TRIL
+    try:
+        fn = _PACK_TRIL
+    except NameError:
+        import jax
+        import jax.numpy as jnp
+
+        def _pack(m):
+            il = np.tril_indices(m.shape[0])
+            return m[il]
+
+        fn = _PACK_TRIL = jax.jit(_pack)
+    return fn(m2)
+
+
+def _unpack_tril_host(packed: np.ndarray, d: int) -> np.ndarray:
+    out = np.empty((d, d), dtype=packed.dtype)
+    il = np.tril_indices(d)
+    out[il] = packed
+    out.T[il] = packed  # mirror into the upper triangle (diag rewritten equal)
+    return out
+
+
+def _pull_moment_pairs(pending) -> list:
+    """device_get a pending list of ``(n, s1, m2)`` triples as host
+    ``(s1, m2)`` pairs, pulling each symmetric m2 as its packed lower
+    triangle (halves the dominant transfer; see :func:`_packable_dim`)."""
+    import jax
+
+    shaped = []
+    for (_, s1, m2) in pending:
+        d = _packable_dim(m2)
+        shaped.append((d, s1, _pack_tril_jit(m2) if d else m2))
+    host = jax.device_get([(s1, m2) for (_, s1, m2) in shaped])
+    return [
+        (s1_h, _unpack_tril_host(m2_h, d) if d else m2_h)
+        for (d, _, _), (s1_h, m2_h) in zip(shaped, host)
+    ]
+
+
 def flush_pending_stats(amds) -> None:
     """Materialize pending device moments of several accumulators with ONE
     coalesced device->host transfer (each pull is a full round trip on
@@ -94,19 +159,20 @@ def flush_pending_stats(amds) -> None:
     amds = [a for a in amds if a is not None and a._pending]
     if not amds:
         return
-    import jax
-
     taken = []
+    flat = []
     for a in amds:
         with a._pending_lock:
             pending, a._pending = a._pending, []
             a._pending_n = 0
         taken.append((a, pending))
-    host = jax.device_get(
-        [[(s1, m2) for (_, s1, m2) in p] for (_, p) in taken]
-    )
-    for (a, pending), host_p in zip(taken, host):
-        for (n, _, _), (s1_h, m2_h) in zip(pending, host_p):
+        flat.extend(pending)
+    host = _pull_moment_pairs(flat)
+    i = 0
+    for a, pending in taken:
+        for (n, _, _) in pending:
+            s1_h, m2_h = host[i]
+            i += 1
             a._merge_moments_host(n, s1_h, m2_h)
 
 
@@ -180,9 +246,7 @@ class AudioMetricsData:
             self._pending_n = 0
             if not pending:
                 return
-            import jax
-
-            host = jax.device_get([(s1, m2) for (_, s1, m2) in pending])
+            host = _pull_moment_pairs(pending)
             for (n, _, _), (s1_h, m2_h) in zip(pending, host):
                 self._merge_moments_host(n, s1_h, m2_h)
 
@@ -368,12 +432,13 @@ class AudioMetricsData:
             e = self.embeddings_device
             n, s1, m2 = _batch_moments_jit(e)
             self.n = int(e.shape[0])
-            self.mean = ensure_ndarray(s1).astype(self.dtype) / self.n
+            ((s1_h, m2_h),) = _pull_moment_pairs([(None, s1, m2)])
+            self.mean = np.asarray(s1_h).astype(self.dtype) / self.n
             if self.n == 1:
                 d = int(e.shape[-1])
                 self.cov = np.zeros((d, d), dtype=self.dtype)
             else:
-                self.cov = ensure_ndarray(m2).astype(self.dtype) / (self.n - 1)
+                self.cov = np.asarray(m2_h).astype(self.dtype) / (self.n - 1)
             return
         e = self.embeddings
         self.n = len(e)

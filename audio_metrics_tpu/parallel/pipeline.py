@@ -405,12 +405,14 @@ def _run_fused_embed(embedder, w, n, batch_size, mesh):
     # first n rows) and s1/m2 stay in flight — AudioMetricsData merges them
     # lazily, so the (d, d) transfer overlaps the KD/PRDC device sweeps in
     # the evaluate() tail instead of stalling the pipeline.  The async copy
-    # starts the transfer as soon as the loop finishes.
-    for a in (s1, m2):
-        try:
-            a.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
+    # starts the (d,) transfer as soon as the loop finishes; m2 is NOT
+    # pre-copied — the flush pulls it as a packed lower triangle
+    # (data._pull_moment_pairs), so a full-matrix DMA here would be a
+    # wasted second transfer on hosts whose DMA actually overlaps.
+    try:
+        s1.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass
     return buf, [(int(n), s1, m2)]
 
 

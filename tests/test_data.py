@@ -226,6 +226,62 @@ def test_add_moments_device_mixed_order_and_merge():
     assert mixed.n == ref.n
 
 
+def test_packed_pull_parity(monkeypatch):
+    """The packed lower-triangle moment pull (the flush's transfer-halving
+    fast path at d >= 128) must produce bitwise-identical stats to the full
+    (d, d) pull, through both flush paths (property read and the coalesced
+    flush_pending_stats)."""
+    from audio_metrics_tpu.data import (
+        _pull_moment_pairs,
+        _unpack_tril_host,
+        flush_pending_stats,
+    )
+
+    rng = np.random.default_rng(21)
+    # mean offset makes asymmetric-reconstruction errors visible
+    batches = [
+        (50.0 + rng.normal(size=(n, 256))).astype(np.float32) for n in (64, 33)
+    ]
+    triples = [batch_moments(e) for e in batches]
+    for _, _, m2 in triples:
+        assert m2.shape == (256, 256) and not isinstance(m2, np.ndarray)
+
+    def fill(a, device=True):
+        for e, (n, s1, m2) in zip(batches, triples):
+            if device:
+                a.add_moments_device(len(e), s1, m2)
+            else:
+                a.add_moments(n, s1, m2)
+        return a
+
+    full = fill(AudioMetricsData(False), device=False)
+    packed = fill(AudioMetricsData(False))
+    np.testing.assert_array_equal(np.asarray(packed.mean), np.asarray(full.mean))
+    np.testing.assert_array_equal(np.asarray(packed.cov), np.asarray(full.cov))
+
+    coalesced = fill(AudioMetricsData(False))
+    flush_pending_stats([coalesced, None, fill(AudioMetricsData(False))])
+    assert not coalesced._pending
+    np.testing.assert_array_equal(np.asarray(coalesced.cov), np.asarray(full.cov))
+
+    # the opt-out env must route around the pack (full-matrix pull)
+    monkeypatch.setenv("AM_TPU_NO_PACKED_PULL", "1")
+    unpacked = fill(AudioMetricsData(False))
+    np.testing.assert_array_equal(np.asarray(unpacked.cov), np.asarray(full.cov))
+    monkeypatch.delenv("AM_TPU_NO_PACKED_PULL")
+
+    # unpack helper: exact mirror of an arbitrary lower triangle
+    sym = rng.normal(size=(256, 256))
+    sym = sym + sym.T
+    rebuilt = _unpack_tril_host(sym[np.tril_indices(256)], 256)
+    np.testing.assert_array_equal(rebuilt, sym)
+
+    # below the threshold the pull stays full-matrix (no pack dispatch)
+    small = batch_moments(rng.normal(size=(8, 16)).astype(np.float32))
+    (pair,) = _pull_moment_pairs([small])
+    assert pair[1].shape == (16, 16)
+
+
 def test_add_moments_device_serialize_flushes():
     rng = np.random.default_rng(13)
     e = rng.normal(size=(25, 6)).astype(np.float32)
