@@ -15,6 +15,10 @@ import time
 
 import numpy as np
 
+# Make `python scripts/ab_forward.py` work without touching PYTHONPATH
+# (which must keep /root/.axon_site for the TPU backend — see CLAUDE.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("AM_TPU_COMPILE_CACHE", "1")
 
 import jax

@@ -12,6 +12,11 @@ Usage: python scripts/probe_f64_fad.py [d] [iters]
 import sys
 import time
 
+import os
+# Run directly via `python scripts/...` without touching PYTHONPATH
+# (which must keep /root/.axon_site for the TPU backend - see CLAUDE.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import audio_metrics_tpu  # noqa: F401  (x64 enabled at import)

@@ -12,6 +12,10 @@ import os
 import sys
 import time
 
+# Run directly via `python scripts/...` without touching PYTHONPATH
+# (which must keep /root/.axon_site for the TPU backend - see CLAUDE.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 os.environ.setdefault("AM_TPU_COMPILE_CACHE", "1")

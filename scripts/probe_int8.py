@@ -12,6 +12,11 @@ opt-in quantized forward path.
 import sys
 import time
 
+import os
+# Run directly via `python scripts/...` without touching PYTHONPATH
+# (which must keep /root/.axon_site for the TPU backend - see CLAUDE.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
