@@ -18,7 +18,7 @@ import os
 from pathlib import Path
 
 from .data import AudioMetricsData, flush_pending_stats
-from .metrics.fad import frechet_distance
+from .metrics.fad import fad_device_tail, frechet_distance
 from .metrics.kd import kernel_distance
 from .metrics.prdc import prdc
 from .metrics.apa import apa, apa_compute_d_x_xp
@@ -284,7 +284,11 @@ class AudioMetrics:
         ``self.timings`` (seconds): ``pipeline`` (ingest + embed + the
         coalesced candidate moment pull — deferred into the FAD thread
         when ``AM_TPU_LAZY_TAIL=1``), ``projection``, ``fad``/``apa``
-        (host math), ``finalize`` (KD/PRDC device sync).
+        (host math), ``finalize`` (KD/PRDC device sync).  With the
+        default FAD device tail (``AM_TPU_FAD_TAIL=eigdev``) the
+        pipeline stage issues no device sync at all, so the whole device
+        stream drains in ``finalize_pull`` — per-stage attribution needs
+        ``AM_TPU_FAD_TAIL=packed`` or ``host``.
         """
         import time as _time
 
@@ -295,6 +299,20 @@ class AudioMetrics:
         metrics = self._run_pipeline(
             candidate, apa_mode="candidate" if self.need_apa else None
         )
+        # FAD device tail: run the similarity transform M = L^T C L on
+        # device (f32 MXU gemms vs ~18 ms of single-core host f64 BLAS) so
+        # the FAD thread below only eigendecomposes; in "eigdev" mode even
+        # that runs on device and only 512 eigenvalues cross the link
+        # instead of the (d, d) moment.  Falls back to the host f64 path
+        # (fad_tail None) for host-fed/low-rank/projected candidates.
+        fad_tail = None
+        fad_cand = None
+        if "fad" in self.metrics and self.stem_projection is None:
+            fad_cand = metrics.get(ItemCategory.stem)
+            if fad_cand is not None and self.stem_reference is not None:
+                fad_tail = fad_device_tail(fad_cand, self.stem_reference)
+        fad_defer = fad_tail is not None and fad_tail[2]
+        fad_tail_host = None
         if not _LAZY_TAIL:
             # Materialize the candidate's device moments NOW, in the post-
             # embed idle window and as ONE coalesced transfer across
@@ -304,8 +322,14 @@ class AudioMetrics:
             # kernels on one serialized stream, so the deferred (d, d) pull
             # queues behind the sweeps instead of riding the idle window.
             # On hosts whose DMA overlaps compute, AM_TPU_LAZY_TAIL=1
-            # defers it.
-            flush_pending_stats(metrics.values())
+            # defers it.  With an active FAD device tail the candidate's
+            # own moment stays on device (the pulled transform replaces
+            # it); in "eigdev" mode even the transform's outputs are ~4 KB
+            # and ride the finalize pull instead (fad_defer).
+            fad_tail_host = flush_pending_stats(
+                [m for m in metrics.values() if fad_tail is None or m is not fad_cand],
+                extra=fad_tail[0] if fad_tail is not None and not fad_defer else None,
+            )
         self.timings["pipeline"] = _time.perf_counter() - _t0
 
         stem_cand = metrics.get(ItemCategory.stem)
@@ -353,12 +377,20 @@ class AudioMetrics:
         result = {}
         fad_thread = None
         fad_out: dict = {}
-        if "fad" in self.metrics:
+        if "fad" in self.metrics and not (fad_defer and not _LAZY_TAIL):
             _t0 = _time.perf_counter()
 
             def _fad():
                 try:
-                    fad_out["fad"] = frechet_distance(stem_cand, stem_ref)
+                    if fad_tail is not None:
+                        vals = fad_tail_host
+                        if vals is None:  # AM_TPU_LAZY_TAIL: pull here
+                            import jax
+
+                            vals = jax.device_get(fad_tail[0])
+                        fad_out["fad"] = float(fad_tail[1](vals))
+                    else:
+                        fad_out["fad"] = frechet_distance(stem_cand, stem_ref)
                 except BaseException as exc:  # re-raised after join
                     fad_out["error"] = exc
 
@@ -375,12 +407,21 @@ class AudioMetrics:
                 self.timings["fad"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         pulled = []
-        if pending:
+        fad_deferred_host = None
+        if pending or (fad_defer and not _LAZY_TAIL):
             import jax
 
-            # ONE transfer for every pending metric's device arrays (each
-            # pull is a full round trip on remote-device links)
-            host = jax.device_get(tuple(arrs for arrs, _ in pending))
+            # ONE transfer for every pending metric's device arrays — plus
+            # the deferred FAD eigenvalues (~4 KB) when the device tail runs
+            # in "eigdev" mode (each pull is a full round trip on
+            # remote-device links)
+            fad_arrs = fad_tail[0] if fad_defer and not _LAZY_TAIL else None
+            fad_deferred_host, host = jax.device_get(
+                (fad_arrs, tuple(arrs for arrs, _ in pending))
+            )
+            # device leg of the tail (KD/PRDC sweeps + pull), separate from
+            # the FAD host leg so the binding side is attributable
+            self.timings["finalize_pull"] = _time.perf_counter() - _t0
             for (_, host_reduce), h in zip(pending, host):
                 pulled.append(host_reduce(h))
         if fad_thread is not None:
@@ -389,6 +430,8 @@ class AudioMetrics:
         err = fad_out.pop("error", None)
         if err is not None:
             raise err
+        if fad_deferred_host is not None:
+            fad_out["fad"] = float(fad_tail[1](fad_deferred_host))
         result.update(fad_out)  # reference key order: fad first
         for out in pulled:
             result.update(out)

@@ -152,13 +152,17 @@ def _pull_moment_pairs(pending) -> list:
     ]
 
 
-def flush_pending_stats(amds) -> None:
+def flush_pending_stats(amds, extra=None):
     """Materialize pending device moments of several accumulators with ONE
     coalesced device->host transfer (each pull is a full round trip on
-    remote-device links; APA evaluates produce two categories per run)."""
+    remote-device links; APA evaluates produce two categories per run).
+
+    ``extra``: optional pytree of device arrays to pull in the SAME
+    transfer (e.g. the FAD device-tail outputs — metrics/fad.py); its host
+    values are returned."""
     amds = [a for a in amds if a is not None and a._pending]
-    if not amds:
-        return
+    if not amds and extra is None:
+        return None
     taken = []
     flat = []
     for a in amds:
@@ -167,13 +171,26 @@ def flush_pending_stats(amds) -> None:
             a._pending_n = 0
         taken.append((a, pending))
         flat.extend(pending)
-    host = _pull_moment_pairs(flat)
+    shaped = []
+    for (_, s1, m2) in flat:
+        d = _packable_dim(m2)
+        shaped.append((d, s1, _pack_tril_jit(m2) if d else m2))
+    import jax
+
+    moments, extra_host = jax.device_get(
+        ([(s1, m2) for (_, s1, m2) in shaped], extra)
+    )
+    host = [
+        (s1_h, _unpack_tril_host(m2_h, d) if d else m2_h)
+        for (d, _, _), (s1_h, m2_h) in zip(shaped, moments)
+    ]
     i = 0
     for a, pending in taken:
         for (n, _, _) in pending:
             s1_h, m2_h = host[i]
             i += 1
             a._merge_moments_host(n, s1_h, m2_h)
+    return extra_host
 
 
 class AudioMetricsData:

@@ -19,11 +19,19 @@ Sx, Sy the eigenvalues of ``Sx @ Sy`` equal those of the *symmetric* matrix
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 import numpy as np
 
-from ..data import AudioMetricsData, ensure_ndarray
+from ..data import AudioMetricsData, ensure_ndarray, _unpack_tril_host
 
-__all__ = ["frechet_distance", "_frechet_distance", "trace_sqrtm_product"]
+__all__ = [
+    "frechet_distance",
+    "_frechet_distance",
+    "trace_sqrtm_product",
+    "fad_device_tail",
+]
 
 
 def _sym_sqrtm(a: np.ndarray) -> np.ndarray:
@@ -97,6 +105,114 @@ def _trace_sqrtm_product_ns(sigma_x, sigma_y, n_iter: int = 30):
 
     (y, _), _ = jax.lax.scan(body, (y, z), None, length=n_iter)
     return jnp.sqrt(norm) * jnp.trace(y)
+
+
+# ----------------------------------------------------------------------
+# device-side evaluate tail
+# ----------------------------------------------------------------------
+# The single-core dev host pays ~33 ms per evaluate for the two f64 512^3
+# gemms of M = L^T C L (plus ~15 ms eigvalsh); the MXU does the same gemms
+# in ~us.  ``fad_device_tail`` moves the similarity transform (and, in
+# "eigdev" mode, the eigendecomposition) onto the device, so the host tail
+# shrinks to one eigvalsh ("packed", pulls M as a packed lower triangle —
+# same bytes as the moment pull it replaces) or to a sqrt-sum of 512 pulled
+# eigenvalues ("eigdev" — the (d, d) moment never crosses the link at all).
+#
+# Numerics: the transform runs in f32 at Precision.HIGHEST.  Against the
+# all-host f64 path this perturbs M by ~1e-7 rel, which perturbs
+# Tr sqrt(M) by ~1e-7 rel on full-rank covariances (the fast path is gated
+# on n > d so the candidate covariance is full-rank in practice; low-rank
+# and host-fed candidates fall back to the f64 host path).  Mode selection:
+# AM_TPU_FAD_TAIL = packed | eigdev | host (default set from the measured
+# relay numbers — see BASELINE.md).
+
+
+def _fad_tail_mode() -> str:
+    return os.environ.get("AM_TPU_FAD_TAIL", "eigdev")
+
+
+@lru_cache(maxsize=None)
+def _tail_program(d: int, mode: str):
+    import jax
+    import jax.numpy as jnp
+
+    il = np.tril_indices(d)
+    hi = jax.lax.Precision.HIGHEST
+
+    def run(m2, s1, l, inv_nm1):
+        c = m2 * inv_nm1  # candidate covariance, f32
+        m = jnp.dot(l.T, jnp.dot(c, l, precision=hi), precision=hi)
+        m = 0.5 * (m + m.T)  # exactly symmetric -> packable
+        tr = jnp.sum(jnp.diagonal(c).astype(jnp.float64))
+        if mode == "eigdev":
+            return s1, tr, jnp.linalg.eigvalsh(m)
+        return s1, tr, m[il]
+
+    return jax.jit(run)
+
+
+def _ref_chol_device(ref: AudioMetricsData, l: np.ndarray):
+    """f32 device copy of the reference Cholesky factor, cached by factor
+    identity (chol_cov() itself caches by cov identity, so the upload —
+    ~1 MB, once per reference — amortizes across evaluates)."""
+    import jax.numpy as jnp
+
+    cached = getattr(ref, "_chol_dev_cache", None)
+    if cached is not None and cached[0] is l:
+        return cached[1]
+    l_dev = jnp.asarray(l, dtype=jnp.float32)
+    ref._chol_dev_cache = (l, l_dev)
+    return l_dev
+
+
+def fad_device_tail(cand: AudioMetricsData, ref: AudioMetricsData, mode=None):
+    """Dispatch the FAD tail transform on device for a pending candidate.
+
+    Applies when ``cand`` holds exactly one pending device moment triple
+    with n > d (full-rank covariance) and ``ref`` has a Cholesky-factorable
+    covariance.  Returns ``(device_arrays, finish, defer_pull)`` where
+    ``finish`` maps the pulled host values to the FAD float, or None
+    (caller falls back to :func:`frechet_distance`).  ``defer_pull`` is True
+    in "eigdev" mode: the outputs are ~4 KB (s1 + trace + 512 eigenvalues),
+    so the pull should ride the caller's LAST coalesced transfer (zero
+    extra round trips) instead of the post-embed flush.  ``cand``'s pending
+    triple is left in place: its stats stay readable (the m2 pull just
+    never happens unless someone asks).
+    """
+    if mode is None:
+        mode = _fad_tail_mode()
+    if mode == "host":
+        return None
+    with cand._pending_lock:
+        if len(cand._pending) != 1:
+            return None
+        n, s1, m2 = cand._pending[0]
+    if isinstance(m2, np.ndarray) or getattr(m2, "ndim", 0) != 2:
+        return None
+    d = m2.shape[0]
+    if m2.shape[1] != d or n <= d:
+        return None
+    l = ref.chol_cov()
+    if l is None or l.shape[0] != d:
+        return None
+    l_dev = _ref_chol_device(ref, l)
+    arrs = _tail_program(d, mode)(m2, s1, l_dev, np.float32(1.0 / (n - 1)))
+
+    def finish(host_vals) -> float:
+        s1_h, tr_x, third = host_vals
+        mu_x = np.asarray(s1_h, dtype=np.float64) / n
+        mu_y = np.asarray(ref.mean, dtype=np.float64)
+        a = float(np.sum(np.square(mu_x - mu_y)))
+        b = float(tr_x) + float(np.trace(ref.cov))
+        if mode == "eigdev":
+            vals = np.asarray(third, dtype=np.float64)
+        else:
+            m = _unpack_tril_host(np.asarray(third), d).astype(np.float64)
+            vals = np.linalg.eigvalsh(m)
+        c = float(np.sqrt(np.clip(vals, 0.0, None)).sum())
+        return a + b - 2.0 * c
+
+    return arrs, finish, mode == "eigdev"
 
 
 def _frechet_distance(

@@ -287,6 +287,7 @@ def main():
                     },
                     "real_weights": bool(embedder.real_weights),
                     "gelu_mode": os.environ.get("AM_TPU_GELU", "poly"),
+                    "fad_tail_mode": os.environ.get("AM_TPU_FAD_TAIL", "eigdev"),
                     "compile_cache_at_start": _CACHE_STATE,
                     "metrics": {k: float(v) for k, v in result.items()},
                 }
