@@ -1,14 +1,16 @@
-"""Attribute every jitted program the bench warmup creates to its call site.
+"""Attribute every traced program in the bench warmup to its call site.
 
-Follow-up to scripts/probe_warmup_census.py: the TPU census showed the
-warm-cache warmup wall is ONE hole — the first blocking execution, where
-the relay performs per-program setup for every program the process has
-created (2557 programs x ~86 ms).  Most of those are op-by-op dispatches
-(551 distinct `add` programs, 402 `multiply`, ...) from non-jitted jnp
-math in the warmup path.  This probe runs the same warmup on CPU (tracing
-is synchronous in the calling thread) and records the repo-level call
-site of every "Finished tracing + transforming" event, so the merges can
-be aimed.
+Follow-up to scripts/probe_warmup_census.py.  RESULT (2026-08-19, see
+BASELINE.md "Census follow-up"): the census's 2557 "Finished tracing"
+events are NOT separate executables — this CPU run (tracing synchronous
+in the calling thread) shows 1108 trace events but only 14 top-level
+compiles; the per-site mass (htsat.py LayerNorm/linear/softmax lines)
+is inner jit-wrapped jnp ops being traced and INLINED while the outer
+fused loop traces.  The TPU census stderr likewise records only 16
+distinct top-level executables.  The warmup wall is the first-call
+relay setup of a few big programs (30-93 s each, relay-weather), so
+merging op-by-op sites has nothing to win.  Kept as the decision record
+and as tooling for attributing any future trace-count growth.
 
 Run:  python scripts/probe_opbyop_sites.py  [n_clips] [batch]
 """

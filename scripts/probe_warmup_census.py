@@ -12,6 +12,14 @@ dominated by that program's first-call relay setup (compile ~0 on a warm
 cache).  Output: a timeline + a per-program table to aim merges at.
 
 Run (TPU):  python scripts/probe_warmup_census.py  [n_clips] [batch]
+
+RESULT (2026-08-19): 2557 trace events but only 16 top-level executables
+(almost all events are inner jits inlined into the fused-loop trace —
+verified by scripts/probe_opbyop_sites.py on CPU); the timeline has two
+holes, 220 s after `_pack` (first blocking execution of the fused loop)
+and 4 s after `_knn_call`.  Conclusion in BASELINE.md "Census follow-up":
+the warmup wall is per-BIG-program relay first-call setup, not program
+count.
 """
 
 import os
