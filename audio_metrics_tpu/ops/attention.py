@@ -951,10 +951,13 @@ def _mlp_gelu_mode() -> str:
 
     return GELU_MODE
 
-# VMEM budget for the v4 block-size heuristic.  Bigger kb amortizes the
-# per-grid-step weight DMA (at stage 2, kb=4 re-reads the block's 6.3 MB of
-# weights 32x per B=128 forward = 2.4 GB of HBM traffic); read once at
-# import (jit-cache caveat as AM_TPU_NO_PALLAS).
+# VMEM budget for the v4 block-size heuristic.  Measured (scripts/
+# probe_v4_kb.py, one-process sweep on v5e, B=128 forward): 48 MB 32.17 ms,
+# 24 MB 32.33, 80 MB 35.12 — constant-index weight blocks are NOT re-DMA'd
+# per grid step (Mosaic skips copies when the index map output is
+# unchanged), and a larger per-step working set degrades scheduling.  48
+# stays the default; read once at import (jit-cache caveat as
+# AM_TPU_NO_PALLAS).
 _V4_VMEM_BUDGET = int(
     os.environ.get("AM_TPU_V4_VMEM_MB", "48")
 ) * 1024 * 1024
