@@ -1,5 +1,5 @@
-"""Resampler quality: measured SNR vs analytic references (README table),
-plus direct golden parity against scipy's independent C polyphase path."""
+"""Resampler quality: measured SNR vs analytic references (README table).
+Direct golden parity vs scipy's C upfirdn path lives in test_dsp.py."""
 
 import numpy as np
 
@@ -29,30 +29,6 @@ def test_resample_quality_hq_snr():
     (documented vs soxr in README deviations)."""
     assert _multitone_snr(44100, 48000, "hq") > 55
     assert _multitone_snr(48000, 16000, "hq") > 52
-
-
-def test_resample_hq_matches_scipy_resample_poly():
-    """Golden cross-implementation check (reference embed.py:69-83 uses
-    soxr, unavailable on this host): the "hq" design mirrors
-    scipy.signal.resample_poly's (firwin Kaiser-5.0, half_len 10*max_rate,
-    same centering), so outputs must agree to the f32 noise floor with
-    scipy's f64 upfirdn as the oracle.  Measured max rel err ~2e-7 across
-    these ratios (incl. the awkward 147:160)."""
-    from math import gcd
-
-    from scipy.signal import resample_poly
-
-    from audio_metrics_tpu.ops.resample import resample_batch
-
-    rng = np.random.default_rng(0)
-    for sr_in, sr_out in [(44100, 48000), (48000, 16000), (16000, 48000)]:
-        x = rng.standard_normal((3, 8000)).astype(np.float32)
-        y = np.asarray(resample_batch(x, sr_in, sr_out, "hq"))
-        g = gcd(sr_in, sr_out)
-        ref = resample_poly(x.astype(np.float64), sr_out // g, sr_in // g, axis=1)
-        assert y.shape == ref.shape
-        rel = np.abs(y - ref).max() / np.abs(ref).max()
-        assert rel < 2e-6, (sr_in, sr_out, rel)
 
 
 def test_resample_quality_vhq_snr():
