@@ -243,11 +243,13 @@ def main():
     am.add_reference(reference)
     t_ref = time.perf_counter() - t0
 
-    # best of 3 timed evaluates: the dev relay adds run-to-run jitter on a
-    # <1 s measurement (BASELINE.md records a 1400-1485 spread for identical
-    # code); min is the standard jitter-robust throughput estimator
+    # best of N (default 5) timed evaluates: the dev relay adds run-to-run
+    # jitter on a <1 s measurement (BASELINE.md records a 1400-1485 spread
+    # for identical code); min is the standard jitter-robust throughput
+    # estimator, and since the second-evaluate stall fix made consecutive
+    # evaluates flat, extra samples cost ~0.65 s each and only tighten it
     t_evals = []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_EVAL_RUNS", "5"))):
         t0 = time.perf_counter()
         result = am.evaluate(candidate)
         t_evals.append(time.perf_counter() - t0)
