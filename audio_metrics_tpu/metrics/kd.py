@@ -113,82 +113,151 @@ def mmd2(K_XX, K_XY, K_YY, unit_diagonal=False, mmd_est="unbiased"):
 # ----------------------------------------------------------------------
 # device path
 # ----------------------------------------------------------------------
-def _kd_gram(a, b, kernel_type, degree, gamma, coef0, sigma):
+def _kd_gram(a, b, kernel_type, degree, gamma, coef0, sigma, sq_a=None, sq_b=None):
     import jax.numpy as jnp
 
     if kernel_type == "polynomial":
         k = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
         return (k * gamma + coef0) ** degree
-    # rbf
-    sq_a = jnp.sum(a * a, axis=1)[:, None]
-    sq_b = jnp.sum(b * b, axis=1)[None, :]
+    # rbf (sq_a / sq_b: optional precomputed-and-gathered row norms so the
+    # subset loop does not re-derive them — VERDICT r3 item 2)
+    if sq_a is None:
+        sq_a = jnp.sum(a * a, axis=1)
+    if sq_b is None:
+        sq_b = jnp.sum(b * b, axis=1)
     dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-    sq = jnp.maximum(sq_a + sq_b - 2.0 * dots, 0.0)
+    sq = jnp.maximum(sq_a[:, None] + sq_b[None, :] - 2.0 * dots, 0.0)
     return jnp.exp(-sq / (2.0 * sigma**2))
 
 
-def _kd_one_subset(f1, f2, idx_pair, kparams):
-    """Per-subset reductions: f32 row sums on the VPU, then f64 scalar
-    finals ON DEVICE (the per-subset f64 work is tiny — m adds — while
-    pulling the (subsets, m) row-sum arrays to host costs ~2 MB of sync
-    transfer per call on remote-device links).  Returns the three f64
-    scalars mmd2 needs: sum(K_XX)-tr, sum(K_YY)-tr, sum(K_XY)."""
+def _row_norms_if_rbf(f, kparams):
+    import jax.numpy as jnp
+
+    if kparams[0] == "polynomial":
+        return None
+    return jnp.sum(f * f, axis=1)
+
+
+def _gather_sq(sq, idx):
+    import jax.numpy as jnp
+
+    if sq is None:
+        return None
+    return jnp.take(sq, idx.astype(jnp.int32), axis=0)
+
+
+def _kd_cand_one_subset(f1, f2, sq1, sq2, idx_pair, kparams):
+    """Candidate-side per-subset reductions: f32 row sums on the VPU, then
+    f64 scalar finals ON DEVICE (the per-subset f64 work is tiny — m adds —
+    while pulling the (subsets, m) row-sum arrays to host costs ~2 MB of
+    sync transfer per call on remote-device links).  Returns the two f64
+    scalars that depend on the candidate: sum(K_XX)-tr, sum(K_XY).  The
+    reference-only term (sum(K_YY)-tr) lives in :func:`_kd_ref_one_subset`
+    and is cached across evaluate() calls."""
     import jax.numpy as jnp
 
     ia, ib = idx_pair
     a = jnp.take(f1, ia.astype(jnp.int32), axis=0)
     b = jnp.take(f2, ib.astype(jnp.int32), axis=0)
-    k_xx = _kd_gram(a, a, *kparams)
-    k_yy = _kd_gram(b, b, *kparams)
-    k_xy = _kd_gram(a, b, *kparams)
+    k_xx = _kd_gram(a, a, *kparams, sq_a=_gather_sq(sq1, ia), sq_b=_gather_sq(sq1, ia))
+    k_xy = _kd_gram(a, b, *kparams, sq_a=_gather_sq(sq1, ia), sq_b=_gather_sq(sq2, ib))
     kt_xx = jnp.sum(jnp.sum(k_xx, axis=1).astype(jnp.float64)) - jnp.sum(
         jnp.diagonal(k_xx).astype(jnp.float64)
     )
-    kt_yy = jnp.sum(jnp.sum(k_yy, axis=1).astype(jnp.float64)) - jnp.sum(
+    k_xy_sum = jnp.sum(jnp.sum(k_xy, axis=1).astype(jnp.float64))
+    return kt_xx, k_xy_sum
+
+
+def _kd_ref_one_subset(f2, sq2, ib, kparams):
+    """Reference-only per-subset reduction: sum(K_YY) - tr(K_YY) in f64.
+
+    The reference recomputes this every call (reference kd.py:178-187);
+    here the (subsets,) result is cached keyed on (reference embeddings
+    identity, subset-index identity, kernel params) — the same invalidation
+    discipline as ``AudioMetricsData.chol_cov`` / the cached kNN radii."""
+    import jax.numpy as jnp
+
+    b = jnp.take(f2, ib.astype(jnp.int32), axis=0)
+    k_yy = _kd_gram(b, b, *kparams, sq_a=_gather_sq(sq2, ib), sq_b=_gather_sq(sq2, ib))
+    return jnp.sum(jnp.sum(k_yy, axis=1).astype(jnp.float64)) - jnp.sum(
         jnp.diagonal(k_yy).astype(jnp.float64)
     )
-    k_xy_sum = jnp.sum(jnp.sum(k_xy, axis=1).astype(jnp.float64))
-    return kt_xx, kt_yy, k_xy_sum
 
 
-def _kd_rows_jit():
+def _chunked_subset_map(one, idx_arrays, chunk):
+    """lax.map of a vmapped per-subset fn over chunked index arrays: enough
+    subsets in flight to keep the MXU busy without materializing all S Gram
+    matrices at once."""
     import jax
     import jax.numpy as jnp
+
+    s = idx_arrays[0].shape[0]
+    n_chunks = -(-s // chunk)
+    pad = n_chunks * chunk - s
+    if pad:
+        idx_arrays = tuple(
+            jnp.concatenate([i, i[:pad]], axis=0) for i in idx_arrays
+        )
+    chunked = tuple(i.reshape(n_chunks, chunk, -1) for i in idx_arrays)
+    xs = chunked[0] if len(chunked) == 1 else chunked
+    sums = jax.lax.map(jax.vmap(one), xs)
+    if not isinstance(sums, tuple):
+        sums = (sums,)
+    out = tuple(r.reshape(-1)[:s] for r in sums)
+    return out
+
+
+def _kd_cand_rows_jit():
+    import jax
     from functools import partial
 
     @partial(jax.jit, static_argnames=("kparams", "chunk"))
     def run(f1, f2, i1, i2, kparams, chunk):
-        s = i1.shape[0]
-        n_chunks = -(-s // chunk)
-        pad = n_chunks * chunk - s
-        if pad:
-            i1 = jnp.concatenate([i1, i1[:pad]], axis=0)
-            i2 = jnp.concatenate([i2, i2[:pad]], axis=0)
-        i1c = i1.reshape(n_chunks, chunk, -1)
-        i2c = i2.reshape(n_chunks, chunk, -1)
-        one = lambda pair: _kd_one_subset(f1, f2, pair, kparams)
-        # chunked vmap: enough subsets in flight to keep the MXU busy
-        # without materializing all S Gram matrices at once
-        sums = jax.lax.map(jax.vmap(one), (i1c, i2c))
-        return tuple(r.reshape(-1)[:s] for r in sums)
+        sq1 = _row_norms_if_rbf(f1, kparams)
+        sq2 = _row_norms_if_rbf(f2, kparams)
+        one = lambda pair: _kd_cand_one_subset(f1, f2, sq1, sq2, pair, kparams)
+        return _chunked_subset_map(one, (i1, i2), chunk)
 
     return run
 
 
-_kd_rows = None
+def _kd_ref_rows_jit():
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("kparams", "chunk"))
+    def run(f2, i2, kparams, chunk):
+        sq2 = _row_norms_if_rbf(f2, kparams)
+        one = lambda ib: _kd_ref_one_subset(f2, sq2, ib, kparams)
+        (kt_yy,) = _chunked_subset_map(one, (i2,), chunk)
+        return kt_yy
+
+    return run
 
 
-def _get_kd_rows():
-    global _kd_rows
-    if _kd_rows is None:
-        _kd_rows = _kd_rows_jit()
-    return _kd_rows
+_kd_cand_rows = None
+_kd_ref_rows = None
+
+
+def _get_kd_cand_rows():
+    global _kd_cand_rows
+    if _kd_cand_rows is None:
+        _kd_cand_rows = _kd_cand_rows_jit()
+    return _kd_cand_rows
+
+
+def _get_kd_ref_rows():
+    global _kd_ref_rows
+    if _kd_ref_rows is None:
+        _kd_ref_rows = _kd_ref_rows_jit()
+    return _kd_ref_rows
 
 
 @lru_cache(maxsize=None)
 def _get_kd_sharded(mesh, kparams):
-    """Cached jitted shard_map KD-subset runner for a mesh (a fresh closure
-    per call would retrace every evaluate — VERDICT r2 warmup audit)."""
+    """Cached jitted shard_map KD candidate-subset runner for a mesh (a
+    fresh closure per call would retrace every evaluate — VERDICT r2 warmup
+    audit)."""
     import jax
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -198,7 +267,11 @@ def _get_kd_sharded(mesh, kparams):
     axis = batch_axes(mesh)  # compound: every mesh axis (1-D or DCN 2-D)
 
     def local(f1_loc, f2_loc, i1_loc, i2_loc):
-        one = lambda pair: _kd_one_subset(f1_loc, f2_loc, pair, kparams)
+        sq1 = _row_norms_if_rbf(f1_loc, kparams)
+        sq2 = _row_norms_if_rbf(f2_loc, kparams)
+        one = lambda pair: _kd_cand_one_subset(
+            f1_loc, f2_loc, sq1, sq2, pair, kparams
+        )
         return jax.lax.map(one, (i1_loc, i2_loc))
 
     return jax.jit(
@@ -206,9 +279,57 @@ def _get_kd_sharded(mesh, kparams):
             local,
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis)),
-            out_specs=(P(axis),) * 3,
+            out_specs=(P(axis),) * 2,
         )
     )
+
+
+@lru_cache(maxsize=None)
+def _get_kd_ref_sharded(mesh, kparams):
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import batch_axes
+
+    axis = batch_axes(mesh)
+
+    def local(f2_loc, i2_loc):
+        sq2 = _row_norms_if_rbf(f2_loc, kparams)
+        one = lambda ib: _kd_ref_one_subset(f2_loc, sq2, ib, kparams)
+        return jax.lax.map(one, i2_loc)
+
+    return jax.jit(
+        shard_map(local, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis))
+    )
+
+
+# kt_yy per (reference identity, subset-index identity, kernel params, mesh):
+# the KEEP dict pins the keyed objects so the id()-based keys stay valid
+_KT_YY_CACHE: dict = {}
+_KT_YY_KEEP: dict = {}
+
+
+def _ref_row_sums(f2, features_2, i2, idx_2, kparams, chunk, mesh=None):
+    """Cached (subsets,) f64 device array of sum(K_YY)-tr per subset.
+
+    The reference pays this Gram recompute on every call
+    (reference kd.py:178-187); with cached subset indices and a fixed
+    reference it is pure function of cached inputs, so compute once."""
+    key = (id(features_2), id(idx_2), kparams, mesh)
+    hit = _KT_YY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if mesh is not None:
+        kt_yy = _get_kd_ref_sharded(mesh, kparams)(f2, i2)
+    else:
+        kt_yy = _get_kd_ref_rows()(f2, i2, kparams, chunk)
+    if len(_KT_YY_CACHE) > 8:
+        _KT_YY_CACHE.clear()
+        _KT_YY_KEEP.clear()
+    _KT_YY_CACHE[key] = kt_yy
+    _KT_YY_KEEP[key] = (features_2, idx_2)
+    return kt_yy
 
 
 def _host_mmd2(sums, m):
@@ -266,7 +387,7 @@ def _device_mmd2_subsets(
     m = idx_1.shape[1]
     kparams = (kernel_type, degree, gamma, coef0, sigma)
 
-    mem_per_subset = 3 * m * m * 4
+    mem_per_subset = 2 * m * m * 4  # cand program: K_XX + K_XY per subset
     chunk = max(1, min(idx_1.shape[0], (128 << 20) // max(mem_per_subset, 1)))
 
     n_subsets = idx_1.shape[0]
@@ -279,16 +400,18 @@ def _device_mmd2_subsets(
             i1 = jnp.concatenate([i1, i1[:pad]], axis=0)
             i2 = jnp.concatenate([i2, i2[:pad]], axis=0)
 
-        run = _get_kd_sharded(mesh, kparams)
-        arrs = run(f1, f2, i1, i2)
+        kt_yy = _ref_row_sums(f2, features_2, i2, idx_2, kparams, chunk, mesh=mesh)
+        kt_xx, k_xy = _get_kd_sharded(mesh, kparams)(f1, f2, i1, i2)
+        arrs = (kt_xx, kt_yy, k_xy)
 
         def reduce_fn(host_arrs):
             rows = tuple(np.asarray(r)[:n_subsets] for r in host_arrs)
             return _host_mmd2(rows, m)
 
     else:
-        run = _get_kd_rows()
-        arrs = run(f1, f2, i1, i2, kparams, chunk)
+        kt_yy = _ref_row_sums(f2, features_2, i2, idx_2, kparams, chunk)
+        kt_xx, k_xy = _get_kd_cand_rows()(f1, f2, i1, i2, kparams, chunk)
+        arrs = (kt_xx, kt_yy, k_xy)
 
         def reduce_fn(host_arrs):
             return _host_mmd2(tuple(np.asarray(a) for a in host_arrs), m)

@@ -254,3 +254,76 @@ def test_apa_distributions():
     cand.add(base + rng.normal(scale=0.01, size=base.shape).astype(np.float32))
     val = apa(cand, ref, anti)
     assert 0.9 < val <= 1.0
+
+
+# ----------------------------------------------------------------------
+# KD reference-Gram (kt_yy) cache
+# ----------------------------------------------------------------------
+def test_kid_ref_gram_cache_hit_and_invalidation():
+    """The reference-side kt_yy row sums are computed once per (reference,
+    subset indices, kernel params) and reused across evaluates; a new
+    reference array invalidates (VERDICT r3 item 2).  Values must be
+    independent of cache state."""
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu.metrics import kd as kd_mod
+
+    rng = np.random.default_rng(7)
+    ref = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+    cand_a = rng.normal(size=(280, 16)).astype(np.float32)
+    cand_b = rng.normal(loc=0.3, size=(280, 16)).astype(np.float32)
+
+    kd_mod._KT_YY_CACHE.clear()
+    kd_mod._KT_YY_KEEP.clear()
+
+    out_a = kid_features_to_metric(cand_a, ref, kid_subsets=8, kid_subset_size=64)
+    assert len(kd_mod._KT_YY_CACHE) == 1
+    (cached_kt_yy,) = kd_mod._KT_YY_CACHE.values()
+
+    out_b = kid_features_to_metric(cand_b, ref, kid_subsets=8, kid_subset_size=64)
+    # same reference + same subset config -> cache hit, same object
+    assert len(kd_mod._KT_YY_CACHE) == 1
+    (kt_yy_after,) = kd_mod._KT_YY_CACHE.values()
+    assert kt_yy_after is cached_kt_yy
+
+    # cached-path value == fresh-cache value (bitwise: identical programs)
+    kd_mod._KT_YY_CACHE.clear()
+    kd_mod._KT_YY_KEEP.clear()
+    out_b_fresh = kid_features_to_metric(
+        cand_b, ref, kid_subsets=8, kid_subset_size=64
+    )
+    assert out_b == out_b_fresh
+    assert out_a != out_b  # sanity: the two candidates differ
+
+    # a NEW reference array is a new key (identity-based invalidation)
+    ref2 = jnp.asarray(np.asarray(ref) + 0.5)
+    kid_features_to_metric(cand_a, ref2, kid_subsets=8, kid_subset_size=64)
+    assert len(kd_mod._KT_YY_CACHE) == 2
+
+
+def test_kid_rbf_ref_gram_cache_matches_naive():
+    """RBF path with hoisted row norms + kt_yy cache still matches the naive
+    host formula."""
+    from audio_metrics_tpu.metrics import kd as kd_mod
+
+    rng = np.random.default_rng(8)
+    f1 = rng.normal(size=(120, 12)).astype(np.float32)
+    f2 = rng.normal(loc=0.1, size=(110, 12)).astype(np.float32)
+    kd_mod._KT_YY_CACHE.clear()
+    kd_mod._KT_YY_KEEP.clear()
+
+    out = kid_features_to_metric(
+        f1, f2, kernel_type="rbf", kid_sigma=3.0, kid_subsets=6, kid_subset_size=50
+    )
+    r = np.random.default_rng(1234)
+    kern = lambda a, b: rbf_kernel(
+        a.astype(np.float64), b.astype(np.float64), sigma=3.0
+    )
+    mmds = []
+    for _ in range(6):
+        i1 = r.choice(120, 50, replace=False)
+        i2 = r.choice(110, 50, replace=False)
+        mmds.append(_naive_mmd2_unbiased(f1[i1], f2[i2], kern))
+    np.testing.assert_allclose(
+        out["kernel_distance_mean"], np.mean(mmds), rtol=1e-4, atol=1e-6
+    )
