@@ -287,8 +287,10 @@ class AudioMetrics:
         (host math), ``finalize`` (KD/PRDC device sync).  With the
         default FAD device tail (``AM_TPU_FAD_TAIL=eigdev``) the
         pipeline stage issues no device sync at all, so the whole device
-        stream drains in ``finalize_pull`` — per-stage attribution needs
-        ``AM_TPU_FAD_TAIL=packed`` or ``host``.
+        stream drains in ``finalize_pull`` — for per-stage attribution
+        set ``AM_TPU_TIMING_SYNC=1`` (re-inserts the pipeline-end sync,
+        costs one extra small pull) or use ``AM_TPU_FAD_TAIL=packed`` /
+        ``host``.
         """
         import time as _time
 
@@ -330,6 +332,16 @@ class AudioMetrics:
                 [m for m in metrics.values() if fad_tail is None or m is not fad_cand],
                 extra=fad_tail[0] if fad_tail is not None and not fad_defer else None,
             )
+        if os.environ.get("AM_TPU_TIMING_SYNC") and fad_defer and not _LAZY_TAIL:
+            # Diagnostic only: in the default eigdev FAD mode nothing syncs
+            # here (the whole stream drains in finalize_pull), so per-stage
+            # attribution is lost.  This re-inserts the sync eigdev removed
+            # — a ~4 KB pull of the FAD-tail arrays, discarded — so
+            # timings["pipeline"] is meaningful again (used by
+            # scripts/probe_eval_stall.py and the bench detail run).
+            import jax as _jax
+
+            _jax.device_get(fad_tail[0])
         self.timings["pipeline"] = _time.perf_counter() - _t0
 
         stem_cand = metrics.get(ItemCategory.stem)

@@ -85,6 +85,53 @@ def _warmup_breakdown(total_s, t_add, t_eval):
     }
 
 
+# Per-program first-call ledger (VERDICT r3 #4): every top-level executable's
+# FIRST invocation routes through jax's Python pjit slow path
+# (_pjit_call_impl_python: trace/compile-or-cache-load + first dispatch);
+# later calls hit the C++ fastpath cache and never come back here.  Timing
+# that path per program name enumerates exactly the "16 top-level
+# executables x relay-weather first-call setup" the round-3 census found,
+# so a slow warmup is attributable to named programs.  Costs nothing after
+# warmup.  NOTE: dispatch is async — a program whose executable upload is
+# deferred shows up in the first *blocking* entry after it instead.
+_PROGRAM_LEDGER: list = []
+
+
+def _install_program_ledger():
+    try:
+        import jax._src.pjit as _pjit
+
+        orig = _pjit._pjit_call_impl_python
+
+        def timed(*args, **kwargs):
+            t0 = time.perf_counter()
+            out = orig(*args, **kwargs)
+            dt = time.perf_counter() - t0
+            _PROGRAM_LEDGER.append((kwargs.get("name", "?"), dt))
+            return out
+
+        _pjit._pjit_call_impl_python = timed
+    except Exception:  # internal API moved: ledger degrades to empty
+        pass
+
+
+def _program_ledger_summary(top=20):
+    agg: dict = {}
+    for name, dt in _PROGRAM_LEDGER:
+        n, tot = agg.get(name, (0, 0.0))
+        agg[name] = (n + 1, tot + dt)
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][1])
+    return {
+        "n_first_calls": len(_PROGRAM_LEDGER),
+        "n_programs": len(agg),
+        "top": [
+            {"name": k, "calls": n, "s": round(tot, 2)}
+            for k, (n, tot) in rows[:top]
+            if tot >= 0.05
+        ],
+    }
+
+
 
 
 def _clap_embedder():
@@ -220,12 +267,14 @@ def main():
     import jax.monitoring
 
     jax.monitoring.register_event_duration_secs_listener(_phase_listener)
+    _install_program_ledger()
     t0 = time.perf_counter()
     am.add_reference(reference)
     t_wadd = time.perf_counter() - t0
     am.evaluate(candidate)
     warmup_s = time.perf_counter() - t0
     breakdown = _warmup_breakdown(warmup_s, t_wadd, warmup_s - t_wadd)
+    breakdown["program_first_calls"] = _program_ledger_summary()
     am.reset_reference()
     if PRECOMPILE:
         print(
@@ -255,6 +304,19 @@ def main():
         t_evals.append(time.perf_counter() - t0)
     t_eval = min(t_evals)
     clips_per_sec = N_CLIPS / t_eval
+    eval_timings = {k: round(v, 3) for k, v in am.timings.items()}
+
+    # one diagnostic evaluate with the pipeline-end sync re-inserted
+    # (AM_TPU_TIMING_SYNC): the default eigdev mode drains the whole stream
+    # in finalize_pull, so this run is the one that can attribute evaluate
+    # time to pipeline vs tail (VERDICT r3 #7).  Untimed: the extra sync
+    # costs a small pull, so it must not touch the headline.
+    os.environ["AM_TPU_TIMING_SYNC"] = "1"
+    try:
+        am.evaluate(candidate)
+        timings_attributed = {k: round(v, 3) for k, v in am.timings.items()}
+    finally:
+        del os.environ["AM_TPU_TIMING_SYNC"]
 
     # host-fed comparison (int16 transfer, native batcher): measured on the
     # ingest+embed path (add_reference) so differing-N metric compiles don't
@@ -284,9 +346,8 @@ def main():
                     "evaluate_s": round(t_eval, 2),
                     "evaluate_s_runs": [round(t, 3) for t in t_evals],
                     "host_fed_clips_per_s": round(N_CLIPS_HOST / t_host, 2),
-                    "eval_timings": {
-                        k: round(v, 3) for k, v in am.timings.items()
-                    },
+                    "eval_timings": eval_timings,
+                    "eval_timings_attributed": timings_attributed,
                     "real_weights": bool(embedder.real_weights),
                     "gelu_mode": os.environ.get("AM_TPU_GELU", "poly"),
                     "fad_tail_mode": os.environ.get("AM_TPU_FAD_TAIL", "eigdev"),

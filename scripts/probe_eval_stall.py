@@ -63,6 +63,13 @@ def main():
 
     runs = []
     for i in range(6):
+        # run 5 with the pipeline-end sync re-inserted so the default
+        # (eigdev) mode gets one attributed pipeline/tail split per session
+        # (AM_TPU_TIMING_SYNC; read per-call in evaluate())
+        if i == 4:
+            os.environ["AM_TPU_TIMING_SYNC"] = "1"
+        else:
+            os.environ.pop("AM_TPU_TIMING_SYNC", None)
         t0 = time.perf_counter()
         am.evaluate(candidate)
         dt = time.perf_counter() - t0
