@@ -170,14 +170,14 @@ class NativeBatcher:
 
     def __iter__(self):
         b, w = self.batch_size, self.win_len
-        audio_pair = np.empty((b, w, 2), np.float32)
-        audio_mono = np.empty((b, w), np.float32)
-        category = np.empty(b, np.int32)
-        valid = np.empty(b, np.uint8)
         kind = ctypes.c_int()
         n = ctypes.c_int()
         while True:
-            # the pair buffer is large enough for both kinds
+            # fresh buffers per batch (yielded directly — no defensive copy);
+            # the pair-sized buffer is large enough for both kinds
+            audio_pair = np.empty((b, w, 2), np.float32)
+            category = np.empty(b, np.int32)
+            valid = np.empty(b, np.uint8)
             status = self._lib.amdl_next_batch(
                 self._handle,
                 audio_pair.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -194,11 +194,10 @@ class NativeBatcher:
                     "shape [n_samples, 2] (pairing context and stem)"
                 )
             if kind.value == 0:  # pair
-                yield "pair", audio_pair.copy(), category.copy(), valid.astype(bool)
+                yield "pair", audio_pair, category, valid.astype(bool)
             else:
-                flat = audio_pair.reshape(-1)[: b * w]
-                np.copyto(audio_mono, flat.reshape(b, w))
-                yield "mono", audio_mono.copy(), category.copy(), valid.astype(bool)
+                mono = audio_pair.reshape(-1)[: b * w].reshape(b, w)
+                yield "mono", mono, category, valid.astype(bool)
         if self._lib.amdl_error(self._handle):
             raise ValueError(
                 "When computing APA items should be tensors/arrays of shape "

@@ -24,8 +24,11 @@ import time
 
 import numpy as np
 
-# host-fed configuration: native batcher + int16 transfer encoding
-os.environ.setdefault("AM_TPU_NATIVE_LOADER", "1")
+# host-fed configuration: int16 transfer encoding.  The C++ batcher is NOT
+# opted in: feeder-only A/B (scripts/ab_feeder.py, BASELINE.md) measured the
+# Python generator chain 2.8-5.3x faster on this single-core host — the
+# native loader's worker-thread pipeline only pays when spare cores exist
+# (set AM_TPU_NATIVE_LOADER=1 on multi-core PCIe hosts).
 os.environ.setdefault("AM_TPU_TRANSFER_INT16", "1")
 # persistent XLA compile cache: repeat bench runs skip the ~2 min warmup
 # compiles (measurement happens after warmup either way)

@@ -8,6 +8,15 @@
 // the GIL, overlapping with device compute.  Exposed via a C ABI for ctypes
 // (see audio_metrics_tpu/parallel/native_loader.py).
 //
+// Data-path design: a song is copied ONCE at feed(); every window is a
+// zero-copy view (shared_ptr song + frame offset) through slicing and both
+// shuffles, and materializes only when written into a batch bucket
+// (aligned: one memcpy; stem / misaligned: one strided de-/re-interleave
+// straight into the bucket).  The first version of this file materialized
+// every window at every stage and measured 6.7-7.7x SLOWER than the Python
+// feeder on a single-core host (scripts/ab_feeder.py) — the stream was
+// being copied ~7x end to end.
+//
 // Build: make -C native  (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
@@ -15,6 +24,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <random>
@@ -30,15 +40,14 @@ constexpr int kCatStem = 3;
 constexpr int kKindPair = 0;
 constexpr int kKindMono = 1;
 
+// A view into a shared song buffer: interleaved (n x channels) samples
+// starting at frame `offset`.  Copying a Window copies a shared_ptr.
 struct Window {
-  // interleaved (n x channels) samples, or mono stem (n x 1)
-  std::vector<float> data;
+  std::shared_ptr<const std::vector<float>> src;
+  int64_t offset = 0;  // in frames
   int channels = 0;
-};
 
-struct Item {
-  Window audio;
-  int category = 0;
+  const float* ptr() const { return src->data() + offset * channels; }
 };
 
 struct Batch {
@@ -142,9 +151,10 @@ class Loader {
   }
 
   void feed(const float* audio, int64_t n_samples, int channels) {
-    Window song;
-    song.channels = channels;
-    song.data.assign(audio, audio + n_samples * channels);
+    // the ONE copy of the song on the native side
+    auto buf = std::make_shared<const std::vector<float>>(
+        audio, audio + n_samples * channels);
+    Window song{std::move(buf), 0, channels};
     {
       std::unique_lock<std::mutex> lk(mu_);
       cv_in_.wait(lk, [this] { return songs_.size() < 64 || stop_; });
@@ -162,9 +172,9 @@ class Loader {
     cv_in_.notify_all();
   }
 
-  // 1 = batch copied, 0 = exhausted
   bool error() const { return error_; }
 
+  // 1 = batch copied, 0 = exhausted
   int next_batch(float* audio_out, int32_t* cat_out, uint8_t* valid_out,
                  int* kind_out, int* n_out) {
     std::unique_lock<std::mutex> lk(mu_);
@@ -184,7 +194,6 @@ class Loader {
 
  private:
   void run() {
-    std::vector<Window> drained;
     while (true) {
       Window song;
       {
@@ -222,13 +231,9 @@ class Loader {
 
   void slice_song(Window song) {
     int ch = song.channels;
-    int64_t n = static_cast<int64_t>(song.data.size()) / ch;
-    for (int64_t i = 0; i + win_len_ <= n; i += win_len_) {
-      Window w;
-      w.channels = ch;
-      w.data.assign(song.data.begin() + i * ch,
-                    song.data.begin() + (i + win_len_) * ch);
-      emit_window(std::move(w));
+    int64_t n = static_cast<int64_t>(song.src->size()) / ch;
+    for (int64_t i = song.offset; i + win_len_ <= n; i += win_len_) {
+      emit_window(Window{song.src, i, ch});  // zero-copy view
     }
   }
 
@@ -240,27 +245,19 @@ class Loader {
       return;
     }
     if (apa_mode_ > 0) {
-      push_item(w, kCatAligned);
+      push_pair(w.ptr(), kCatAligned);
       if (apa_mode_ == 1) {
-        // tee: the same window also feeds the misalignment shuffle
+        // tee: the same window (a view — shared_ptr copy) also feeds the
+        // misalignment shuffle
         Window out;
         if (win_shuffle_.push(w, &out)) {
-          pending_aligned_.push_back(std::move(out));
+          pending_shuffled_.push_back(std::move(out));
           pair_misaligned();
         }
       }
     }
     if (stems_mode_) {
-      Window stem;
-      stem.channels = 1;
-      if (w.channels == 1) {
-        stem.data = w.data;
-      } else {
-        stem.data.resize(win_len_);
-        for (int i = 0; i < win_len_; ++i)
-          stem.data[i] = w.data[i * w.channels + (w.channels - 1)];
-      }
-      push_item(stem, kCatStem);
+      push_stem(w);
     }
     if (apa_mode_ == 1) {
       // queue this window's context for pairing with a shuffled stem
@@ -270,37 +267,18 @@ class Loader {
   }
 
   void pair_misaligned() {
-    while (!ctx_queue_.empty() && !pending_aligned_.empty()) {
+    while (!ctx_queue_.empty() && !pending_shuffled_.empty()) {
       Window ctx = std::move(ctx_queue_.front());
       ctx_queue_.pop_front();
-      Window shuf = std::move(pending_aligned_.front());
-      pending_aligned_.pop_front();
-      Window mis;
-      mis.channels = 2;
-      mis.data.resize(win_len_ * 2);
-      for (int i = 0; i < win_len_; ++i) {
-        mis.data[i * 2] = ctx.data[i * 2];        // context of item1
-        mis.data[i * 2 + 1] = shuf.data[i * 2 + 1];  // stem of shuffled item
-      }
-      push_item(mis, kCatMisaligned);
+      Window shuf = std::move(pending_shuffled_.front());
+      pending_shuffled_.pop_front();
+      push_misaligned(ctx.ptr(), shuf.ptr());
     }
   }
 
   void emit_misaligned_tail(Window shuf) {
-    pending_aligned_.push_back(std::move(shuf));
+    pending_shuffled_.push_back(std::move(shuf));
     pair_misaligned();
-  }
-
-  void push_item(const Window& w, int category) {
-    const bool pair = (category != kCatStem);
-    Bucket& b = pair ? pair_bucket_ : mono_bucket_;
-    int ch = pair ? 2 : 1;
-    if (b.audio.empty()) b.audio.resize((size_t)batch_size_ * win_len_ * ch, 0.f);
-    std::memcpy(b.audio.data() + (size_t)b.n * win_len_ * ch, w.data.data(),
-                (size_t)win_len_ * ch * sizeof(float));
-    b.category.push_back(category);
-    ++b.n;
-    if (b.n == batch_size_) flush_bucket(b, pair ? kKindPair : kKindMono, ch);
   }
 
   struct Bucket {
@@ -308,6 +286,48 @@ class Loader {
     std::vector<int32_t> category;
     int n = 0;
   };
+
+  // --- bucket writers: windows materialize HERE, directly into the batch
+  // buffer (one pass per emitted item; no intermediate window storage) ---
+
+  float* bucket_slot(Bucket& b, int ch) {
+    if (b.audio.empty())
+      b.audio.resize((size_t)batch_size_ * win_len_ * ch, 0.f);
+    return b.audio.data() + (size_t)b.n * win_len_ * ch;
+  }
+
+  void seal(Bucket& b, int category, int kind, int ch) {
+    b.category.push_back(category);
+    ++b.n;
+    if (b.n == batch_size_) flush_bucket(b, kind, ch);
+  }
+
+  void push_pair(const float* src, int category) {
+    std::memcpy(bucket_slot(pair_bucket_, 2), src,
+                (size_t)win_len_ * 2 * sizeof(float));
+    seal(pair_bucket_, category, kKindPair, 2);
+  }
+
+  void push_stem(const Window& w) {
+    float* dst = bucket_slot(mono_bucket_, 1);
+    if (w.channels == 1) {
+      std::memcpy(dst, w.ptr(), (size_t)win_len_ * sizeof(float));
+    } else {
+      const float* src = w.ptr();
+      const int ch = w.channels, last = w.channels - 1;
+      for (int i = 0; i < win_len_; ++i) dst[i] = src[i * ch + last];
+    }
+    seal(mono_bucket_, kCatStem, kKindMono, 1);
+  }
+
+  void push_misaligned(const float* ctx, const float* shuf) {
+    float* dst = bucket_slot(pair_bucket_, 2);
+    for (int i = 0; i < win_len_; ++i) {
+      dst[i * 2] = ctx[i * 2];           // context of item1
+      dst[i * 2 + 1] = shuf[i * 2 + 1];  // stem of shuffled item
+    }
+    seal(pair_bucket_, kCatMisaligned, kKindPair, 2);
+  }
 
   void flush_bucket(Bucket& b, int kind, int ch) {
     Batch out;
@@ -340,7 +360,7 @@ class Loader {
   ShuffleStream<Window> song_shuffle_;
   ShuffleStream<Window> win_shuffle_;
   std::deque<Window> ctx_queue_;
-  std::deque<Window> pending_aligned_;
+  std::deque<Window> pending_shuffled_;
   Bucket pair_bucket_, mono_bucket_;
 
   std::mutex mu_;

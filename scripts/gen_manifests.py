@@ -134,6 +134,49 @@ def clap_text_tower():
     return out
 
 
+def clap_hf_manifest():
+    """HF transformers ``ClapModel`` full state-dict surface at the
+    HTSAT-base audio dims (the second checkpoint format ``convert_checkpoint``
+    accepts; VERDICT r3 #5 asked for dry-conversion pinning of BOTH formats).
+
+    Generated live from transformers — keys stay in HF naming (no
+    inverse-mapping): ``audio_model.audio_encoder.*`` (q/k/v unfused),
+    ``text_model.*``, ``audio_projection.linear{1,2}.*``, logit scales.
+    """
+    import numpy as np
+    from transformers import ClapAudioConfig, ClapConfig, ClapTextConfig
+    from transformers.models.clap.modeling_clap import ClapModel
+
+    from audio_metrics_tpu.models.clap import convert_checkpoint, expected_param_keys
+    from audio_metrics_tpu.models.htsat import HTSAT_BASE
+
+    cfg = ClapConfig(
+        audio_config=ClapAudioConfig(
+            patch_embeds_hidden_size=128,
+            depths=[2, 2, 12, 2],
+            num_attention_heads=[4, 8, 16, 32],
+            hidden_size=1024,
+        ).to_dict(),
+        text_config=ClapTextConfig().to_dict(),
+    )
+    sd = ClapModel(cfg).state_dict()
+    used, dropped = {}, {}
+    expected = expected_param_keys(HTSAT_BASE)
+    for key, val in sd.items():
+        shape = list(val.shape)
+        got = convert_checkpoint({key: np.zeros(shape or (), np.float32)}, cfg=None)
+        target = used if (got and set(got) & expected) else dropped
+        target[key] = shape
+    return {
+        "_source": "transformers ClapModel(ClapConfig(audio_config=HTSAT-base "
+        "dims, text_config=ClapTextConfig())) state_dict — the HF-format "
+        "surface convert_checkpoint accepts alongside the LAION .pt layout.  "
+        "See scripts/gen_manifests.py.",
+        "used": used,
+        "dropped": dropped,
+    }
+
+
 def clap_projections():
     return {
         "audio_projection.0.weight": [512, 1024],
@@ -210,10 +253,14 @@ def main():
     }
     with open(os.path.join(OUT_DIR, "laion_clap_htsat_base.json"), "w") as f:
         json.dump(clap, f, indent=1, sort_keys=True)
+    hf = clap_hf_manifest()
+    with open(os.path.join(OUT_DIR, "laion_clap_htsat_base_hf.json"), "w") as f:
+        json.dump(hf, f, indent=1, sort_keys=True)
     with open(os.path.join(OUT_DIR, "vggish_torchhub.json"), "w") as f:
         json.dump(vggish_manifest(), f, indent=1, sort_keys=True)
     print(
         f"wrote manifests: clap used={len(used)} dropped={len(dropped)}, "
+        f"clap-hf used={len(hf['used'])} dropped={len(hf['dropped'])}, "
         f"vggish used={len(vggish_manifest()['used'])}"
     )
 

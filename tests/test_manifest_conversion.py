@@ -153,3 +153,76 @@ def test_vggish_pth_load_raises_on_incomplete(tmp_path):
     torch.save(sd, path)
     with pytest.raises(ValueError, match="incomplete"):
         load_checkpoint(str(path))
+
+
+# ----------------------------------------------------------------------
+# full-architecture dry conversion (VERDICT r3 #5): every tensor routed,
+# values and shapes asserted, tap layers included — for BOTH formats
+# ----------------------------------------------------------------------
+def _fabricate_unique(manifest):
+    """Per-key unique-valued arrays (deterministic, collision-free offsets:
+    value routing must be provable by equality, not just key coverage)."""
+    sd = {}
+    all_items = sorted({**manifest["used"], **manifest["dropped"]}.items())
+    for i, (key, shape) in enumerate(all_items):
+        n = int(np.prod(shape)) if shape else 1
+        sd[key] = (
+            (np.arange(n, dtype=np.float64) * 1e-3 + i * 131.0)
+            .astype(np.float32)
+            .reshape(shape or ())
+        )
+    return sd
+
+
+@pytest.mark.parametrize(
+    "fname", ["laion_clap_htsat_base.json", "laion_clap_htsat_base_hf.json"]
+)
+def test_full_architecture_dry_conversion_routes_every_tensor(fname):
+    """Dry-convert the whole checkpoint surface: every 'used' tensor must
+    land on exactly one (or, for fused qkv, three) expected forward params,
+    bitwise-equal to its source, with no overwrites and full coverage of the
+    forward's key set — so the first real load cannot fail on layout."""
+    manifest = _load(fname)
+    sd = _fabricate_unique(manifest)
+    params_full = convert_checkpoint(sd, cfg=HTSAT_BASE, strict=True)
+    expected = expected_param_keys(HTSAT_BASE)
+    assert set(params_full) == expected
+
+    covered = set()
+    for key in manifest["used"]:
+        single = convert_checkpoint({key: sd[key]}, cfg=None)
+        hits = {pk: pv for pk, pv in single.items() if pk in expected}
+        assert hits, f"used key routed nowhere: {key}"
+        for pk, pv in hits.items():
+            assert pk not in covered, f"double-routed: {key} -> {pk}"
+            covered.add(pk)
+            np.testing.assert_array_equal(
+                params_full[pk], pv, err_msg=f"{key} -> {pk}"
+            )
+    assert covered == expected  # every forward param has exactly one source
+
+    # the two intermediate-tap layers (reference clap.py:7,32-43 hooks on
+    # audio_projection.0/.2) are explicit outputs here; their weights must
+    # be part of the routed surface
+    for tap in (
+        "audio_projection.linear1.weight",
+        "audio_projection.linear1.bias",
+        "audio_projection.linear2.weight",
+        "audio_projection.linear2.bias",
+    ):
+        assert tap in covered, tap
+
+
+def test_hf_manifest_strict_raises_on_missing_block():
+    manifest = _load("laion_clap_htsat_base_hf.json")
+    sd = _fabricate(manifest)
+    removed = [
+        k
+        for k in list(sd)
+        if "layers.2.blocks.7.attention.self.query" in k
+    ]
+    assert removed
+    for k in removed:
+        del sd[k]
+    with pytest.raises(ValueError, match="missing"):
+        convert_checkpoint(sd, cfg=HTSAT_BASE, strict=True)
