@@ -68,8 +68,12 @@ _FMIN, _FMAX = 50, 14000
 PROJECTION_DIM = 512
 
 
-def clap_mel(audio, compute_dtype=None, center=True):
-    """(B, n) @48k -> (B, n//480 + 1, 64) log-mel, laion non-fusion convention."""
+def clap_mel(audio, compute_dtype=None, center=True, out_affine=None, out_dtype=None):
+    """(B, n) @48k -> (B, n//480 + 1, 64) log-mel, laion non-fusion convention.
+
+    ``out_affine``/``out_dtype``: optional per-bin affine epilogue + output
+    dtype (ops/mel.log_mel_spectrogram) — the bf16 forward folds the
+    encoder's eval-mode BatchNorm here and takes the mel in bf16."""
     return log_mel_spectrogram(
         audio,
         sampling_rate=SAMPLE_RATE,
@@ -85,6 +89,8 @@ def clap_mel(audio, compute_dtype=None, center=True):
         mel_scale="slaney",
         log_mode="db",
         compute_dtype=compute_dtype,
+        out_affine=out_affine,
+        out_dtype=out_dtype,
     )
 
 
@@ -100,7 +106,7 @@ def _can_tile_mel(n: int) -> bool:
     )
 
 
-def clap_mel_tiled(audio, compute_dtype=None):
+def clap_mel_tiled(audio, compute_dtype=None, out_affine=None, out_dtype=None):
     """Exact log-mel of the repeat-padded clip at ~1/r of the mel cost.
 
     laion repeatpad tiles an n-sample clip r = MAX_SAMPLES//n times
@@ -128,8 +134,16 @@ def clap_mel_tiled(audio, compute_dtype=None):
     tail_sig = jnp.concatenate(
         [audio[:, n - extra :], audio[:, -half - 1 : -1][:, ::-1]], axis=1
     )
-    head = clap_mel(head_sig, compute_dtype=compute_dtype, center=False)
-    tail = clap_mel(tail_sig, compute_dtype=compute_dtype, center=False)
+    # the per-bin affine epilogue commutes exactly with the mid-frame row
+    # copies below, so folding it into the head/tail kernels is exact
+    head = clap_mel(
+        head_sig, compute_dtype=compute_dtype, center=False,
+        out_affine=out_affine, out_dtype=out_dtype,
+    )
+    tail = clap_mel(
+        tail_sig, compute_dtype=compute_dtype, center=False,
+        out_affine=out_affine, out_dtype=out_dtype,
+    )
     mid_idx = 2 + (np.arange(p + 2, t_tail0) - 2) % p
     mel = jnp.concatenate([head, head[:, mid_idx], tail], axis=1)
     assert mel.shape[1] == n_frames
@@ -145,10 +159,30 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
     copy and host->device transfers stay at the original clip length.
     """
     n = audio.shape[1]
+    bf16 = compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
+    if bf16:
+        # fold the encoder's eval-mode BatchNorm (per-mel-bin affine) into
+        # the mel epilogue and take the mel in bf16 — the separate BN pass
+        # and half the mel HBM round-trip disappear; bitwise-equivalent
+        # downstream because the frontend interp matmul consumed the mel in
+        # bf16 anyway (reassociation: scale precomputed as rsqrt(var)*gamma)
+        bn_s = params["audio_encoder.batch_norm.weight"] * jax.lax.rsqrt(
+            params["audio_encoder.batch_norm.running_var"] + 1e-5
+        )
+        bn_o = (
+            params["audio_encoder.batch_norm.bias"]
+            - params["audio_encoder.batch_norm.running_mean"] * bn_s
+        )
+        out_affine, out_dtype = (bn_s, bn_o), jnp.bfloat16
+    else:
+        out_affine, out_dtype = None, None
     if _can_tile_mel(n) and not _NO_MEL_TILE:
         # default 5 s windows: exact repeat-pad mel at ~half the cost, and
         # the 10 s tiled waveform never exists in HBM
-        mel = clap_mel_tiled(audio, compute_dtype=compute_dtype)
+        mel = clap_mel_tiled(
+            audio, compute_dtype=compute_dtype,
+            out_affine=out_affine, out_dtype=out_dtype,
+        )
     else:
         if n < MAX_SAMPLES:
             n_repeat = MAX_SAMPLES // n
@@ -158,8 +192,13 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
                 audio = jnp.pad(audio, ((0, 0), (0, pad)))
         # bf16 compute dispatches the mel chain to the fused Pallas frontend
         # (halo-DMA kernel); f32 compute keeps the exact XLA path
-        mel = clap_mel(audio, compute_dtype=compute_dtype)
-    latent = htsat_encode(params, mel, cfg, compute_dtype=compute_dtype)
+        mel = clap_mel(
+            audio, compute_dtype=compute_dtype,
+            out_affine=out_affine, out_dtype=out_dtype,
+        )
+    latent = htsat_encode(
+        params, mel, cfg, compute_dtype=compute_dtype, batch_norm_applied=bf16
+    )
     l1 = (
         jnp.dot(
             latent,

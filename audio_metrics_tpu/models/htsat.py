@@ -859,7 +859,13 @@ def frontend_tokens(params, mel, cfg: HTSATConfig, compute_dtype):
     )
 
 
-def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE, compute_dtype=None):
+def htsat_encode(
+    params: dict,
+    mel,
+    cfg: HTSATConfig = HTSAT_BASE,
+    compute_dtype=None,
+    batch_norm_applied: bool = False,
+):
     """mel: (B, T, n_mels) log-mel -> pooled latent (B, num_features) f32.
 
     Mirrors ClapAudioEncoder.forward: batch-norm over mel bins,
@@ -869,16 +875,22 @@ def htsat_encode(params: dict, mel, cfg: HTSATConfig = HTSAT_BASE, compute_dtype
     ``compute_dtype`` (e.g. jnp.bfloat16) sets the activation/matmul dtype
     inside the transformer; normalization statistics, softmax, and the final
     pooling stay float32.
+
+    ``batch_norm_applied=True`` means the caller already applied the
+    eval-mode BatchNorm (models/clap folds it into the mel kernel epilogue);
+    the mel is consumed in whatever dtype it arrives (bf16 from the fused
+    mel path) instead of being forced to f32.
     """
     if compute_dtype is None:
         compute_dtype = jnp.float32
-    mel = jnp.asarray(mel, dtype=jnp.float32)
-    # BatchNorm2d over the mel-bin axis, eval mode (running stats)
-    mean = params["audio_encoder.batch_norm.running_mean"]
-    var = params["audio_encoder.batch_norm.running_var"]
-    gamma = params["audio_encoder.batch_norm.weight"]
-    beta = params["audio_encoder.batch_norm.bias"]
-    mel = (mel - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+    if not batch_norm_applied:
+        mel = jnp.asarray(mel, dtype=jnp.float32)
+        # BatchNorm2d over the mel-bin axis, eval mode (running stats)
+        mean = params["audio_encoder.batch_norm.running_mean"]
+        var = params["audio_encoder.batch_norm.running_var"]
+        gamma = params["audio_encoder.batch_norm.weight"]
+        beta = params["audio_encoder.batch_norm.bias"]
+        mel = (mel - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
 
     x = frontend_tokens(params, mel, cfg, compute_dtype)
 

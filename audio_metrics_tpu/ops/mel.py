@@ -237,10 +237,14 @@ def log_mel_pallas(
     center: bool = True,
     log_mode: str = "db",
     log_offset: float = 0.01,
+    out_affine=None,
+    out_dtype=None,
     interpret: bool = False,
 ):
     """Fused log-mel frontend: framing -> windowed DFT -> power -> mel
     projection -> log in one Pallas kernel (bf16 DFT matmul, f32 power/mel).
+    ``out_affine``/``out_dtype``: optional per-mel-bin affine epilogue and
+    output dtype (see log_mel_pallas_halo).
 
     XLA computes the same chain at f32 matmul rate regardless of casts
     (``--xla_allow_excess_precision`` folds bf16 downcasts away) and
@@ -299,7 +303,13 @@ def log_mel_pallas(
     else:
         raise ValueError(f"unknown log_mode {log_mode!r}")
 
-    def kernel(fr_ref, basis_ref, fb_ref, out_ref):
+    odt = jnp.float32 if out_dtype is None else out_dtype
+
+    def kernel(fr_ref, basis_ref, fb_ref, *rest):
+        if out_affine is not None:
+            sc_ref, of_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         p = jnp.dot(
             fr_ref[:], basis_ref[:], preferred_element_type=jnp.float32
         )
@@ -307,7 +317,33 @@ def log_mel_pallas(
         im = p[:, n_bins_keep:]
         sq = re * re + im * im
         mel = jnp.dot(sq, fb_ref[:], preferred_element_type=jnp.float32)
-        out_ref[:] = logf(mel)
+        lm = logf(mel)
+        if out_affine is not None:
+            lm = lm * sc_ref[:] + of_ref[:]
+        out_ref[:] = lm.astype(odt)
+
+    ins = [frames, jnp.asarray(basis), jnp.asarray(fb_t)]
+    in_specs = [
+        pl.BlockSpec((t, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (width, 2 * n_bins_keep),
+            lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_bins_keep, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if out_affine is not None:
+        sc, of = out_affine
+        aff_spec = pl.BlockSpec(
+            (1, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        ins += [
+            jnp.asarray(sc, jnp.float32).reshape(1, n_mels),
+            jnp.asarray(of, jnp.float32).reshape(1, n_mels),
+        ]
+        in_specs += [aff_spec, aff_spec]
 
     if hasattr(jax, "enable_x64"):
         scope = jax.enable_x64(False)
@@ -317,24 +353,14 @@ def log_mel_pallas(
         out = pl.pallas_call(
             kernel,
             grid=(frames.shape[0] // t,),
-            in_specs=[
-                pl.BlockSpec((t, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (width, 2 * n_bins_keep),
-                    lambda i: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (n_bins_keep, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((t, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((frames.shape[0], n_mels), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((frames.shape[0], n_mels), odt),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(frames, jnp.asarray(basis), jnp.asarray(fb_t))
+        )(*ins)
     return out[:rows].reshape(b, n_frames, n_mels)
 
 
@@ -351,9 +377,20 @@ def log_mel_pallas_halo(
     log_offset: float = 0.01,
     tile_frames: int = 512,
     basis_dtype=jnp.bfloat16,
+    out_affine=None,
+    out_dtype=None,
     interpret: bool = False,
 ):
     """Halo-DMA log-mel frontend: framing happens INSIDE the kernel.
+
+    ``out_affine``: optional per-mel-bin (scale, offset) pair applied to the
+    log-mel as a kernel epilogue (out = logmel * scale + offset) — the CLAP
+    path folds its eval-mode BatchNorm here so the (B, frames, mels) tensor
+    never takes a separate elementwise pass (reference: ClapAudioEncoder's
+    bn0 over the mel bins).  ``out_dtype``: output dtype (default f32); the
+    bf16-compute forward asks for bf16 directly, halving the mel HBM
+    round-trip — bitwise-identical downstream because the consumer (the
+    bicubic time-interp matmul) casts to bf16 anyway.
 
     log_mel_pallas materializes the overlapped (rows, frame) matrix in HBM
     (~184 MB for 64x 10 s clips at 48 kHz) before the kernel reads it back;
@@ -422,8 +459,13 @@ def log_mel_pallas_halo(
         raise ValueError(f"unknown log_mode {log_mode!r}")
 
     n_steps = b * n_tiles
+    odt = jnp.float32 if out_dtype is None else out_dtype
 
-    def kernel(xr_ref, basis_ref, fb_ref, out_ref, hops, sem):
+    def kernel(xr_ref, basis_ref, fb_ref, *rest):
+        if out_affine is not None:
+            sc_ref, of_ref, out_ref, hops, sem = rest
+        else:
+            out_ref, hops, sem = rest
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         step = bi * n_tiles + ti
@@ -464,7 +506,35 @@ def log_mel_pallas_halo(
         im = acc[:, n_bins_keep:]
         sq = re * re + im * im
         mel = jnp.dot(sq, fb_ref[:], preferred_element_type=jnp.float32)
-        out_ref[0] = logf(mel)
+        lm = logf(mel)
+        if out_affine is not None:
+            lm = lm * sc_ref[0] + of_ref[0]
+        out_ref[0] = lm.astype(odt)
+
+    ins = [xr, jnp.asarray(basis), jnp.asarray(fb_t)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (n_chunks, hop_pad, 2 * n_bins_keep),
+            lambda bi, ti: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_bins_keep, n_mels),
+            lambda bi, ti: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if out_affine is not None:
+        sc, of = out_affine
+        aff_spec = pl.BlockSpec(
+            (1, n_mels), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
+        )
+        ins += [
+            jnp.asarray(sc, jnp.float32).reshape(1, n_mels),
+            jnp.asarray(of, jnp.float32).reshape(1, n_mels),
+        ]
+        in_specs += [aff_spec, aff_spec]
 
     if hasattr(jax, "enable_x64"):
         scope = jax.enable_x64(False)
@@ -474,23 +544,11 @@ def log_mel_pallas_halo(
         out = pl.pallas_call(
             kernel,
             grid=(b, n_tiles),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (n_chunks, hop_pad, 2 * n_bins_keep),
-                    lambda bi, ti: (0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (n_bins_keep, n_mels),
-                    lambda bi, ti: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, t_frames, n_mels), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((b, n_frames_pad, n_mels), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, n_frames_pad, n_mels), odt),
             scratch_shapes=[
                 pltpu.VMEM((2, t_frames + halo_hops, hop_pad), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -499,7 +557,7 @@ def log_mel_pallas_halo(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(xr, jnp.asarray(basis), jnp.asarray(fb_t))
+        )(*ins)
     return out[:, :n_frames]
 
 
@@ -521,8 +579,15 @@ def log_mel_spectrogram(
     log_mode: str = "db",
     log_offset: float = 0.01,
     compute_dtype=None,
+    out_affine=None,
+    out_dtype=None,
 ):
     """audio (B, n) -> log-mel (B, n_frames, n_mels) float32.
+
+    ``out_affine``: optional (scale, offset) per-mel-bin affine applied to
+    the log-mel (out = logmel * scale + offset) — on the Pallas path it runs
+    as a kernel epilogue, on the XLA path as a fused elementwise op.
+    ``out_dtype``: output dtype override (default float32).
 
     log_mode:
       - "db": 10*log10(max(mel, 1e-10))  (torchlibrosa LogmelFilterBank /
@@ -564,6 +629,8 @@ def log_mel_spectrogram(
             center=center,
             log_mode=log_mode,
             log_offset=log_offset,
+            out_affine=out_affine,
+            out_dtype=out_dtype,
         )
     spec = stft_power(
         audio,
@@ -578,7 +645,14 @@ def log_mel_spectrogram(
         "btk,km->btm", spec, jnp.asarray(fb_np), preferred_element_type=jnp.float32
     )
     if log_mode == "db":
-        return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-    if log_mode == "natural":
-        return jnp.log(mel + log_offset)
-    raise ValueError(f"unknown log_mode {log_mode!r}")
+        lm = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    elif log_mode == "natural":
+        lm = jnp.log(mel + log_offset)
+    else:
+        raise ValueError(f"unknown log_mode {log_mode!r}")
+    if out_affine is not None:
+        sc, of = out_affine
+        lm = lm * jnp.asarray(sc, jnp.float32) + jnp.asarray(of, jnp.float32)
+    if out_dtype is not None:
+        lm = lm.astype(out_dtype)
+    return lm

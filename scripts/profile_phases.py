@@ -97,43 +97,28 @@ def main():
         print(f"{name:28s} {1e3 * t:8.3f} ms / {B} clips", flush=True)
         return {b: fn(params, inputs[b]) for b in (B, 3 * B)}
 
-    # --- mel (tiled repeat-pad path, as wired for 5 s windows)
-    mel = phase(
-        "mel (tiled)",
-        jax.jit(lambda p, a: clap_mel_tiled(a, compute_dtype=DT)),
-        audio,
-    )
-
-    # --- frontend: batch-norm + mel2img + patch embed + LN
+    # --- mel (tiled repeat-pad path with the folded BN epilogue + bf16
+    # output, as wired for 5 s windows in _clap_forward)
     @jax.jit
-    def frontend(p, mel):
-        m = (mel - p["audio_encoder.batch_norm.running_mean"]) * jax.lax.rsqrt(
+    def mel_fn(p, a):
+        s = p["audio_encoder.batch_norm.weight"] * jax.lax.rsqrt(
             p["audio_encoder.batch_norm.running_var"] + 1e-5
-        ) * p["audio_encoder.batch_norm.weight"] + p[
-            "audio_encoder.batch_norm.bias"
-        ]
-        x = reshape_mel2img(m, cfg)
-        ps = cfg.patch_size
-        bsz, _, hh, ww = x.shape
-        xp = (
-            x[:, 0]
-            .reshape(bsz, hh // ps, ps, ww // ps, ps)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(bsz, (hh // ps) * (ww // ps), ps * ps)
         )
-        w = p["audio_encoder.patch_embed.proj.weight"].reshape(-1, ps * ps).T
-        x = jnp.dot(
-            xp.astype(DT), w.astype(DT), preferred_element_type=jnp.float32
-        ) + p["audio_encoder.patch_embed.proj.bias"]
-        x = x.astype(DT)
-        return _layer_norm(
-            x,
-            p["audio_encoder.patch_embed.norm.weight"],
-            p["audio_encoder.patch_embed.norm.bias"],
-            cfg.layer_norm_eps,
+        o = p["audio_encoder.batch_norm.bias"] - p[
+            "audio_encoder.batch_norm.running_mean"
+        ] * s
+        return clap_mel_tiled(
+            a, compute_dtype=DT, out_affine=(s, o), out_dtype=DT
         )
 
-    x = phase("frontend", frontend, mel)
+    mel = phase("mel (tiled+bn)", mel_fn, audio)
+
+    # --- frontend: time-interp + patch embed + LN (BN now rides the mel)
+    x = phase(
+        "frontend",
+        jax.jit(lambda p, m: H.frontend_tokens(p, m, cfg, DT)),
+        mel,
+    )
 
     # --- stages + merges
     resolution = cfg.grid_size

@@ -315,6 +315,70 @@ def test_clap_bf16_close_to_f32():
     assert np.all(cos > 0.995), cos
 
 
+def test_clap_bf16_bn_fold_matches_unfolded():
+    """The bf16 forward folds the eval-mode BatchNorm into the mel epilogue
+    (models/clap._clap_forward); with NONTRIVIAL BN stats the folded mel must
+    match the in-encoder BN applied to the plain mel, and the end-to-end
+    embedding must stay close to the f32 (unfolded) forward."""
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu.models.htsat import HTSAT_TINY, init_params
+    import audio_metrics_tpu.models.clap as clap_mod
+
+    rng = np.random.default_rng(11)
+    params = init_params(HTSAT_TINY, seed=3)
+    params.update(clap_mod.init_projection_params(HTSAT_TINY, seed=3))
+    params["audio_encoder.batch_norm.running_mean"] = rng.normal(
+        scale=2.0, size=64
+    ).astype(np.float32)
+    params["audio_encoder.batch_norm.running_var"] = (
+        0.5 + rng.random(64).astype(np.float32) * 3.0
+    )
+    params["audio_encoder.batch_norm.weight"] = (
+        1.0 + 0.3 * rng.normal(size=64)
+    ).astype(np.float32)
+    params["audio_encoder.batch_norm.bias"] = rng.normal(size=64).astype(
+        np.float32
+    )
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    audio = (0.2 * rng.normal(size=(2, clap_mod.MAX_SAMPLES // 2))).astype(
+        np.float32
+    )
+
+    # mel-level: folded epilogue == explicit BN over the plain mel
+    s = params["audio_encoder.batch_norm.weight"] / np.sqrt(
+        params["audio_encoder.batch_norm.running_var"] + 1e-5
+    )
+    o = (
+        params["audio_encoder.batch_norm.bias"]
+        - params["audio_encoder.batch_norm.running_mean"] * s
+    )
+    folded = clap_mod.clap_mel_tiled(
+        jnp.asarray(audio), compute_dtype=jnp.bfloat16,
+        out_affine=(jnp.asarray(s), jnp.asarray(o)), out_dtype=jnp.bfloat16,
+    )
+    plain = clap_mod.clap_mel_tiled(jnp.asarray(audio), compute_dtype=jnp.bfloat16)
+    want = np.asarray(plain) * s + o
+    np.testing.assert_allclose(
+        np.asarray(folded, np.float32), want.astype(jnp.bfloat16).astype(np.float32),
+        rtol=0, atol=0.5,
+    )
+
+    # end-to-end: bf16 (folded) vs f32 (unfolded) embeddings
+    o32 = np.asarray(
+        clap_mod._clap_forward(jparams, jnp.asarray(audio), HTSAT_TINY, None)[
+            "embedding"
+        ]
+    )
+    o16 = np.asarray(
+        clap_mod._clap_forward(
+            jparams, jnp.asarray(audio), HTSAT_TINY, jnp.bfloat16
+        )["embedding"]
+    )
+    cos = np.sum(o32 * o16, axis=1)
+    assert np.all(cos > 0.995), cos
+
+
 def test_laion_checkpoint_load_end_to_end(tmp_path, hf_clap, monkeypatch):
     """Fabricate a LAION-format .pt checkpoint (module.-prefixed, fused qkv)
     from the HF oracle's weights and load it through the ckpt plumbing."""

@@ -356,6 +356,49 @@ def test_log_mel_pallas_matches_xla(conv, kernel):
     assert np.max(d) < 0.5
 
 
+@pytest.mark.parametrize("kernel", ["v1", "halo"])
+def test_log_mel_pallas_affine_epilogue(kernel):
+    """out_affine/out_dtype epilogue == plain kernel output * s + o cast to
+    bf16 (the CLAP BN fold path; models/clap._clap_forward)."""
+    rng = np.random.default_rng(5)
+    a = jnp.asarray((0.2 * rng.normal(size=(2, 48000))).astype(np.float32))
+    fb = mel_filter_bank(
+        513, 64, 50.0, 14000.0, 48000, norm="slaney", mel_scale="slaney"
+    ).astype(np.float32)
+    sc = rng.normal(size=64).astype(np.float32) * 0.3 + 1.0
+    of = rng.normal(size=64).astype(np.float32)
+    fn = log_mel_pallas if kernel == "v1" else log_mel_pallas_halo
+    kw = dict(frame_length=1024, hop_length=480, n_fft=1024, fb=fb,
+              center=True, log_mode="db", interpret=True)
+    plain = fn(a, **kw)
+    fused = fn(a, out_affine=(sc, of), out_dtype=jnp.bfloat16, **kw)
+    assert fused.dtype == jnp.bfloat16
+    want = (np.asarray(plain) * sc + of).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(want, np.float32),
+        rtol=0, atol=0.25,  # one bf16 ulp on dB-scale values
+    )
+
+
+def test_log_mel_xla_affine_epilogue():
+    """The XLA path's out_affine/out_dtype must match the same composition."""
+    rng = np.random.default_rng(6)
+    a = jnp.asarray((0.2 * rng.normal(size=(2, 48000))).astype(np.float32))
+    sc = rng.normal(size=64).astype(np.float32) * 0.3 + 1.0
+    of = rng.normal(size=64).astype(np.float32)
+    kw = dict(sampling_rate=48000, frame_length=1024, hop_length=480,
+              n_mels=64, fmin=50, fmax=14000, n_fft=1024, log_mode="db")
+    plain = log_mel_spectrogram(a, **kw)
+    fused = log_mel_spectrogram(
+        a, out_affine=(sc, of), out_dtype=jnp.bfloat16, **kw
+    )
+    assert fused.dtype == jnp.bfloat16
+    want = (np.asarray(plain) * sc + of).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(want, np.float32)
+    )
+
+
 def test_attention_v2_matches_v1():
     """The lane-masked v2 kernel must be numerically equivalent to v1
     (interpret mode; see the v2 docstring for the measured perf verdict)."""
