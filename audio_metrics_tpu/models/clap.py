@@ -55,6 +55,13 @@ logger = logging.getLogger(__name__)
 # would be silently ignored.
 _NO_MEL_TILE = bool(os.environ.get("AM_TPU_NO_MEL_TILE"))
 
+# Fused audio->tokens frontend kernel (ops/frontend_fused.py): the whole
+# mel -> BN -> interp -> patchify -> patch-embed -> LN chain in one
+# pallas_call for the bf16 repeat-pad path.  Same jit-cache caveat.
+_NO_FUSED_FRONTEND = bool(
+    os.environ.get("AM_TPU_NO_FUSED_FRONTEND") or os.environ.get("AM_TPU_NO_PALLAS")
+)
+
 LAION_CLAP_MUSIC_SPEECH_CHECKPOINT_URL = "https://huggingface.co/lukewys/laion_clap/resolve/main/music_speech_audioset_epoch_15_esc_89.98.pt"
 LAION_CLAP_MUSIC_CHECKPOINT_URL = "https://huggingface.co/lukewys/laion_clap/resolve/main/music_audioset_epoch_15_esc_90.14.pt"
 LAION_CLAP_LAYERS = ["audio_projection.0", "audio_projection.2"]
@@ -176,6 +183,39 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
         out_affine, out_dtype = (bn_s, bn_o), jnp.bfloat16
     else:
         out_affine, out_dtype = None, None
+    if (
+        bf16
+        and not _NO_FUSED_FRONTEND
+        and not _NO_MEL_TILE
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.frontend_fused import clap_tokens_fused, fused_frontend_supported
+        from ..ops.mel import mel_filter_bank
+        from .htsat import htsat_encode_tokens
+
+        if fused_frontend_supported(n, SAMPLE_RATE, cfg):
+            # one kernel: audio -> swin patch tokens (mel, BN, interp,
+            # patchify, patch embed, LN all in VMEM; ops/frontend_fused.py)
+            fb_np = mel_filter_bank(
+                _N_FFT // 2 + 1, _N_MELS, float(_FMIN), float(_FMAX),
+                SAMPLE_RATE, norm="slaney", mel_scale="slaney",
+            ).astype(np.float32)
+            tokens = clap_tokens_fused(
+                audio,
+                sr=SAMPLE_RATE,
+                cfg=cfg,
+                fb_matrix=fb_np,
+                bn_scale=bn_s,
+                bn_offset=bn_o,
+                patch_w=params["audio_encoder.patch_embed.proj.weight"]
+                .reshape(-1, cfg.patch_size * cfg.patch_size)
+                .T,
+                patch_b=params["audio_encoder.patch_embed.proj.bias"],
+                ln_w=params["audio_encoder.patch_embed.norm.weight"],
+                ln_b=params["audio_encoder.patch_embed.norm.bias"],
+            )
+            latent = htsat_encode_tokens(params, tokens, cfg)
+            return _projection_taps(params, latent)
     if _can_tile_mel(n) and not _NO_MEL_TILE:
         # default 5 s windows: exact repeat-pad mel at ~half the cost, and
         # the 10 s tiled waveform never exists in HBM

@@ -29,7 +29,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["HTSATConfig", "htsat_encode", "init_params", "HTSAT_BASE", "HTSAT_TINY"]
+__all__ = [
+    "HTSATConfig",
+    "htsat_encode",
+    "htsat_encode_tokens",
+    "init_params",
+    "HTSAT_BASE",
+    "HTSAT_TINY",
+]
 
 # Force the v0 image-materializing frontend (reshape_mel2img + patchify)
 # instead of the restructured single-transpose path; A/B + debugging knob.
@@ -893,7 +900,14 @@ def htsat_encode(
         mel = (mel - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
 
     x = frontend_tokens(params, mel, cfg, compute_dtype)
+    return htsat_encode_tokens(params, x, cfg)
 
+
+def htsat_encode_tokens(params: dict, x, cfg: HTSATConfig = HTSAT_BASE):
+    """Patch tokens (B, grid^2, C) -> pooled latent (B, num_features) f32:
+    the swin stages, final LN, token-semantic regroup, average pool.
+    Entry point for callers that produce the tokens themselves (the fused
+    audio->tokens frontend kernel, ops/frontend_fused.py)."""
     resolution = cfg.grid_size
     n_stages = len(cfg.depths)
     for i in range(n_stages):

@@ -67,6 +67,13 @@ _TARGET_BLOCK_BYTES = 2 * 1024 * 1024
 # kernel probe methodology is too noisy for this, see BASELINE.md).
 _PROBE_NOPART = os.environ.get("AM_TPU_PROBE_NOPART", "") == "1"
 
+# COST-PROBE switch: treats each 128-lane head group as ONE head — no
+# block-diagonal kw/vw build, scores/exp/context contract over n instead of
+# gh*n.  WRONG MATH — bounds the total per-head-structure cost (build
+# traffic + the gh-times-wider score/softmax/context) in the full forward;
+# anything a head-packing trick could ever save is <= this delta.
+_PROBE_FLATHEAD = os.environ.get("AM_TPU_PROBE_FLATHEAD", "") == "1"
+
 # Post-scale softmax in the v3/v4 kernels: contract the UNNORMALIZED exp
 # with the block-diagonal V and apply the per-(row, head) reciprocal to the
 # narrow (n, gw) context instead of the wide (n, heads*n) probabilities.
@@ -523,6 +530,41 @@ def _attn_windows_to_ctx(
             jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) // d
         ).astype(jnp.float32)
+
+    if _PROBE_FLATHEAD and _ATTN_POSTSCALE:
+        # COST PROBE ONLY (wrong math; see _PROBE_FLATHEAD above): same
+        # qkv/proj and per-group slicing, but one 128-lane "head" per group
+        parts = []
+        for j in range(ngroups):
+            qg = q[:, :, j * gw : (j + 1) * gw]
+            kg = k[:, :, j * gw : (j + 1) * gw]
+            vg = v[:, :, j * gw : (j + 1) * gw]
+            s = jax.lax.dot_general(
+                qg, kg,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (g, n, n)
+            bg = bmw_ref[:, :, j * gn : j * gn + n]
+            if bmw_ref.shape[0] == 1:
+                s = s + bg[0][None]
+            else:
+                s = (s.reshape(kb, bmw_ref.shape[0], n, n) + bg[None]).reshape(
+                    g, n, n
+                )
+            e = jnp.exp(jnp.clip(s, -80.0, 80.0))
+            den = jax.lax.dot_general(
+                e, sel[:n], dimension_numbers=(((2,), (0,)), ((), ()))
+            )  # (g, n, gh)
+            raw = jax.lax.dot_general(
+                e.astype(dt), vg,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (g, n, gw)
+            rwl = jax.lax.dot_general(
+                1.0 / den, sel_lane, dimension_numbers=(((2,), (0,)), ((), ()))
+            )
+            parts.append(raw * rwl)
+        return parts[0] if ngroups == 1 else jnp.concatenate(parts, axis=-1)
 
     parts = []
     for j in range(ngroups):

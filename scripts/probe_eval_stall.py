@@ -61,8 +61,18 @@ def main():
     am.add_reference(reference)
     print(json.dumps({"warmup_s": round(warm, 2)}), flush=True)
 
+    # A/B knob: clear the KD reference-Gram row-sum cache before every
+    # evaluate to reproduce the uncached (reference-equivalent) behavior —
+    # the delta vs the default run is what the cache saves per evaluate.
+    kd_nocache = bool(os.environ.get("AM_TPU_PROBE_KD_NOCACHE"))
+    if kd_nocache:
+        from audio_metrics_tpu.metrics import kd as _kd
+
     runs = []
     for i in range(6):
+        if kd_nocache:
+            _kd._KT_YY_CACHE.clear()
+            _kd._KT_YY_KEEP.clear()
         # run 5 with the pipeline-end sync re-inserted so the default
         # (eigdev) mode gets one attributed pipeline/tail split per session
         # (AM_TPU_TIMING_SYNC; read per-call in evaluate())
