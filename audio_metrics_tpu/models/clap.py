@@ -239,6 +239,12 @@ def _clap_forward(params: dict, audio, cfg: HTSATConfig, compute_dtype=None):
     latent = htsat_encode(
         params, mel, cfg, compute_dtype=compute_dtype, batch_norm_applied=bf16
     )
+    return _projection_taps(params, latent)
+
+
+def _projection_taps(params: dict, latent) -> dict:
+    """Pooled latent (B, num_features) -> the three reference tap outputs
+    (audio_projection hooks, reference embedders/clap.py:7,32-43)."""
     l1 = (
         jnp.dot(
             latent,

@@ -93,16 +93,20 @@ def _plan(n: int, sr: int, frame: int, hop: int, n_mels: int, spec: int, ps: int
     n_chunks = -(-frame // hop)
     hop_pad = -(-hop // 128) * 128
     # hop rows: head frames need head_frames + (n_chunks-1) rows; the tail's
-    # rows append right after (tail frames read hops[tail_row0 + r + k])
-    head_rows = head_frames + (n_chunks - 1)
-    tail_row0 = -(-head_rows // 8) * 8  # 8-aligned DMA destination
-    tail_rows = tail_frames + (n_chunks - 1)
+    # rows append right after (tail frames read hops[tail_row0 + r + k]).
+    # Mosaic DMA slices must be 8-row-aligned in offset AND shape (the halo
+    # mel kernel's constraint, ops/mel.py:421-427), so both copies round up.
+    head_rows = -(-(head_frames + (n_chunks - 1)) // 8) * 8
+    tail_row0 = head_rows
+    tail_rows = -(-(tail_frames + (n_chunks - 1)) // 8) * 8
     copies.append((t_tail0, tail_row0, tail_frames))
 
     # frame-matrix row count for the single DFT pass (covers head + tail)
     dft_rows = -(-(tail_row0 + tail_frames) // 128) * 128
     hops_rows = tail_row0 + tail_rows  # valid hop rows
-    hops_scratch = -(-(dft_rows + n_chunks - 1) // 8) * 8
+    hops_scratch = max(
+        -(-(dft_rows + n_chunks - 1) // 8) * 8, tail_row0 + tail_rows
+    )
 
     # token geometry
     ratio = spec // n_mels
