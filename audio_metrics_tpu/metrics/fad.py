@@ -69,17 +69,39 @@ def trace_sqrtm_product(
     return float(np.sqrt(np.clip(vals, 0.0, None)).sum())
 
 
+def _ns_trace_sqrt_sym(m, n_iter: int = 30):
+    """``Tr sqrt(M)`` for symmetric PSD ``M`` via coupled Newton-Schulz —
+    matmuls only (MXU-friendly; no eigendecomposition anywhere).
+
+    Iterates on ``A = M / ||M||_F`` with ``Y <- Y (3I - Z Y)/2,
+    Z <- (3I - Z Y)/2 Z`` so that ``Y -> sqrt(A)``; then
+    ``Tr sqrt(M) = sqrt(||M||_F) Tr(Y)``.  30 f32 iterations measured
+    2.65e-7 rel err vs f64 eigh at d=512 (scripts/probe_fad_tail_ns.py) and
+    ~1.6 ms on the v5e relay vs ~10 ms for device eigvalsh."""
+    import jax
+    import jax.numpy as jnp
+
+    d = m.shape[0]
+    eye = jnp.eye(d, dtype=m.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    norm = jnp.sqrt(jnp.sum(m * m)) + 1e-30
+    a = m / norm
+
+    def body(carry, _):
+        y, z = carry
+        t = 0.5 * (3.0 * eye - jnp.dot(z, y, precision=hi))
+        return (jnp.dot(y, t, precision=hi), jnp.dot(t, z, precision=hi)), None
+
+    (y, _), _ = jax.lax.scan(body, (a, eye), None, length=n_iter)
+    return jnp.sqrt(norm) * jnp.trace(y)
+
+
 def _trace_sqrtm_product_ns(sigma_x, sigma_y, n_iter: int = 30):
     """On-device Newton-Schulz ``Tr sqrt(Sx Sy)`` (matmuls only).
 
-    Works on the symmetrized product ``M = Sx^... `` — we iterate on
-    ``A = M / ||M||_F`` with the coupled Newton-Schulz recurrence
-    ``Y <- Y (3I - Z Y)/2, Z <- (3I - Z Y)/2 Z`` so that Y -> sqrt(A);
-    then ``Tr sqrt(M) = sqrt(||M||_F) Tr(Y)``.  M must be PSD, so we first
-    form the symmetric product via one f64->f32-safe eigh-free route:
-    ``M = Sy^{1/2}``-free trick is unavailable without sqrt, so we instead
-    exploit ``Tr sqrt(Sx Sy) = Tr sqrt(L^T Sy L)`` with ``L L^T = Sx``
-    (Cholesky, supported on TPU).
+    ``Tr sqrt(Sx Sy) = Tr sqrt(L^T Sy L)`` with ``L L^T = Sx`` (Cholesky,
+    supported on TPU); the symmetric PSD trace-sqrt then runs via
+    :func:`_ns_trace_sqrt_sym`.
     """
     import jax.numpy as jnp
 
@@ -91,20 +113,7 @@ def _trace_sqrtm_product_ns(sigma_x, sigma_y, n_iter: int = 30):
     eps = 1e-10 * jnp.trace(sx) / d + 1e-30
     chol = jnp.linalg.cholesky(sx + eps * eye)
     m = chol.T @ sy @ chol
-    m = 0.5 * (m + m.T)
-    norm = jnp.sqrt(jnp.sum(m * m)) + 1e-30
-    a = m / norm
-    y, z = a, eye
-
-    def body(carry, _):
-        y, z = carry
-        t = 0.5 * (3.0 * eye - z @ y)
-        return (y @ t, t @ z), None
-
-    import jax
-
-    (y, _), _ = jax.lax.scan(body, (y, z), None, length=n_iter)
-    return jnp.sqrt(norm) * jnp.trace(y)
+    return _ns_trace_sqrt_sym(0.5 * (m + m.T), n_iter)
 
 
 # ----------------------------------------------------------------------
@@ -113,26 +122,34 @@ def _trace_sqrtm_product_ns(sigma_x, sigma_y, n_iter: int = 30):
 # The single-core dev host pays ~33 ms per evaluate for the two f64 512^3
 # gemms of M = L^T C L (plus ~15 ms eigvalsh); the MXU does the same gemms
 # in ~us.  ``fad_device_tail`` moves the similarity transform (and, in
-# "eigdev" mode, the eigendecomposition) onto the device, so the host tail
-# shrinks to one eigvalsh ("packed", pulls M as a packed lower triangle —
-# same bytes as the moment pull it replaces) or to a sqrt-sum of 512 pulled
-# eigenvalues ("eigdev" — the (d, d) moment never crosses the link at all).
+# "eigdev"/"nsdev" mode, the trace-sqrt itself) onto the device, so the host
+# tail shrinks to one eigvalsh ("packed", pulls M as a packed lower triangle
+# — same bytes as the moment pull it replaces), a sqrt-sum of 512 pulled
+# eigenvalues ("eigdev" — the (d, d) moment never crosses the link at all),
+# or nothing but three scalars ("nsdev" — Newton-Schulz trace-sqrt, matmuls
+# only; device eigvalsh costs ~10 ms on the serialized relay stream where
+# 30 NS gemm pairs cost ~1.6 ms, scripts/probe_fad_tail_ns.py).
 #
 # Numerics: the transform runs in f32 at Precision.HIGHEST.  Against the
 # all-host f64 path this perturbs M by ~1e-7 rel, which perturbs
 # Tr sqrt(M) by ~1e-7 rel on full-rank covariances (the fast path is gated
 # on n > d so the candidate covariance is full-rank in practice; low-rank
-# and host-fed candidates fall back to the f64 host path).  Mode selection:
-# AM_TPU_FAD_TAIL = packed | eigdev | host (default set from the measured
-# relay numbers — see BASELINE.md).
+# and host-fed candidates fall back to the f64 host path).  The NS
+# iteration adds ~2.7e-7 rel on top (same f32 class).  Mode selection:
+# AM_TPU_FAD_TAIL = nsdev | eigdev | packed | host (default set from the
+# measured relay numbers — see BASELINE.md).
 
 
 def _fad_tail_mode() -> str:
-    return os.environ.get("AM_TPU_FAD_TAIL", "eigdev")
+    return os.environ.get("AM_TPU_FAD_TAIL", "nsdev")
+
+
+def _ns_iters() -> int:
+    return int(os.environ.get("AM_TPU_FAD_NS_ITERS", "30"))
 
 
 @lru_cache(maxsize=None)
-def _tail_program(d: int, mode: str):
+def _tail_program(d: int, mode: str, ns_iter: int = 30):
     import jax
     import jax.numpy as jnp
 
@@ -146,6 +163,8 @@ def _tail_program(d: int, mode: str):
         tr = jnp.sum(jnp.diagonal(c).astype(jnp.float64))
         if mode == "eigdev":
             return s1, tr, jnp.linalg.eigvalsh(m)
+        if mode == "nsdev":
+            return s1, tr, _ns_trace_sqrt_sym(m, ns_iter)
         return s1, tr, m[il]
 
     return jax.jit(run)
@@ -173,11 +192,12 @@ def fad_device_tail(cand: AudioMetricsData, ref: AudioMetricsData, mode=None):
     covariance.  Returns ``(device_arrays, finish, defer_pull)`` where
     ``finish`` maps the pulled host values to the FAD float, or None
     (caller falls back to :func:`frechet_distance`).  ``defer_pull`` is True
-    in "eigdev" mode: the outputs are ~4 KB (s1 + trace + 512 eigenvalues),
-    so the pull should ride the caller's LAST coalesced transfer (zero
-    extra round trips) instead of the post-embed flush.  ``cand``'s pending
-    triple is left in place: its stats stay readable (the m2 pull just
-    never happens unless someone asks).
+    in "eigdev"/"nsdev" mode: the outputs are tiny (s1 + trace + 512
+    eigenvalues, or + one NS trace-sqrt scalar), so the pull should ride the
+    caller's LAST coalesced transfer (zero extra round trips) instead of
+    the post-embed flush.  ``cand``'s pending triple is left in place: its
+    stats stay readable (the m2 pull just never happens unless someone
+    asks).
     """
     if mode is None:
         mode = _fad_tail_mode()
@@ -196,7 +216,9 @@ def fad_device_tail(cand: AudioMetricsData, ref: AudioMetricsData, mode=None):
     if l is None or l.shape[0] != d:
         return None
     l_dev = _ref_chol_device(ref, l)
-    arrs = _tail_program(d, mode)(m2, s1, l_dev, np.float32(1.0 / (n - 1)))
+    arrs = _tail_program(d, mode, _ns_iters())(
+        m2, s1, l_dev, np.float32(1.0 / (n - 1))
+    )
 
     def finish(host_vals) -> float:
         s1_h, tr_x, third = host_vals
@@ -204,15 +226,18 @@ def fad_device_tail(cand: AudioMetricsData, ref: AudioMetricsData, mode=None):
         mu_y = np.asarray(ref.mean, dtype=np.float64)
         a = float(np.sum(np.square(mu_x - mu_y)))
         b = float(tr_x) + float(np.trace(ref.cov))
-        if mode == "eigdev":
-            vals = np.asarray(third, dtype=np.float64)
+        if mode == "nsdev":
+            c = float(third)
         else:
-            m = _unpack_tril_host(np.asarray(third), d).astype(np.float64)
-            vals = np.linalg.eigvalsh(m)
-        c = float(np.sqrt(np.clip(vals, 0.0, None)).sum())
+            if mode == "eigdev":
+                vals = np.asarray(third, dtype=np.float64)
+            else:
+                m = _unpack_tril_host(np.asarray(third), d).astype(np.float64)
+                vals = np.linalg.eigvalsh(m)
+            c = float(np.sqrt(np.clip(vals, 0.0, None)).sum())
         return a + b - 2.0 * c
 
-    return arrs, finish, mode == "eigdev"
+    return arrs, finish, mode in ("eigdev", "nsdev")
 
 
 def _frechet_distance(

@@ -67,7 +67,7 @@ def _run_eval(monkeypatch, mode):
     return result
 
 
-@pytest.mark.parametrize("mode", ["packed", "eigdev"])
+@pytest.mark.parametrize("mode", ["packed", "eigdev", "nsdev"])
 def test_public_api_matches_host_path(monkeypatch, mode):
     fast = _run_eval(monkeypatch, mode)
     host = _run_eval(monkeypatch, "host")
@@ -100,8 +100,10 @@ def test_unit_value_and_pending_preserved():
     assert out is not None
     arrs, finish, defer = out
     assert defer is False
-    # eigdev defers its ~4 KB pull to the caller's last coalesced transfer
+    # eigdev/nsdev defer their tiny pulls to the caller's last coalesced
+    # transfer
     assert fad_device_tail(cand, ref, mode="eigdev")[2] is True
+    assert fad_device_tail(cand, ref, mode="nsdev")[2] is True
     host_vals = flush_pending_stats([], extra=arrs)
     got = finish(host_vals)
 
@@ -113,6 +115,29 @@ def test_unit_value_and_pending_preserved():
     # the candidate's own moment was never consumed: stats still readable
     assert len(cand._pending) == 1
     np.testing.assert_allclose(cand.cov, cand_host.cov, rtol=1e-5, atol=1e-7)
+
+
+def test_ns_trace_sqrt_ill_conditioned():
+    """The nsdev Newton-Schulz trace-sqrt on a kappa=1e6 spectrum: tiny
+    eigenvalues converge slowest, but their sqrt contributions are tiny, so
+    the total stays in the f32 class.  Pins the accuracy envelope that
+    justifies nsdev as the default tail."""
+    from audio_metrics_tpu.metrics.fad import _ns_trace_sqrt_sym
+
+    rng = np.random.default_rng(11)
+    d = 128
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    vals = np.logspace(-6, 0, d)  # kappa = 1e6
+    m = (q * vals) @ q.T
+    m = 0.5 * (m + m.T)
+    want = float(np.sqrt(vals).sum())
+    got = float(_ns_trace_sqrt_sym(jnp.asarray(m, jnp.float32), 30))
+    assert got == pytest.approx(want, rel=2e-4)
+    # and on a well-conditioned spectrum the error is f32-roundoff class
+    vals_ok = np.linspace(0.1, 1.0, d)
+    m_ok = (q * vals_ok) @ q.T
+    got_ok = float(_ns_trace_sqrt_sym(jnp.asarray(m_ok, jnp.float32), 30))
+    assert got_ok == pytest.approx(float(np.sqrt(vals_ok).sum()), rel=1e-5)
 
 
 def test_fallbacks():
