@@ -673,6 +673,31 @@ def _quantize_host(audio: np.ndarray):
     return q, np.float32(scale)
 
 
+# Single host->device transfers above ~100 MB wedge remote-device relays
+# (CLAUDE.md); 64 rows x 240k f32 = 61 MB stays comfortably under.  Staging
+# costs nothing on transfer-bound links (same bytes, same serialized
+# stream) and protects large-batch configs (batch_size 256 x 5 s @ 48 kHz
+# would otherwise be one 246 MB put).
+_STAGE_ROWS = int(os.environ.get("AM_TPU_UPLOAD_STAGE_ROWS", "64"))
+_STAGE_BYTES = 64 << 20
+
+
+def _staged_device_put(audio: np.ndarray, sharding=None):
+    """Upload a host batch in bounded row slices, concatenated on device."""
+    nbytes = audio.size * audio.itemsize
+    rows = audio.shape[0] if audio.ndim else 0
+    if nbytes <= _STAGE_BYTES or rows <= _STAGE_ROWS:
+        if sharding is not None:
+            return jax.device_put(audio, sharding)
+        return jnp.asarray(audio)
+    parts = [
+        jnp.asarray(audio[i : i + _STAGE_ROWS])
+        for i in range(0, rows, _STAGE_ROWS)
+    ]
+    out = jnp.concatenate(parts, axis=0)
+    return jax.device_put(out, sharding) if sharding is not None else out
+
+
 # ----------------------------------------------------------------------
 # the pipeline
 # ----------------------------------------------------------------------
@@ -868,9 +893,10 @@ def embedding_pipeline(
     for kind, audio, category, valid in batches:
         if transfer_int16 and isinstance(audio, np.ndarray):
             q, scale = _quantize_host(audio)
-            if batch_sharding_ is not None:
-                q = jax.device_put(q, batch_sharding_)
-            audio = _dequantize_jit(jnp.asarray(q), scale)
+            q = _staged_device_put(q, batch_sharding_)
+            audio = _dequantize_jit(q, scale)
+        elif isinstance(audio, np.ndarray):
+            audio = _staged_device_put(audio, batch_sharding_)
         elif batch_sharding_ is not None:
             audio = jax.device_put(jnp.asarray(audio), batch_sharding_)
         if need_resample:

@@ -321,3 +321,21 @@ def test_fused_loop_f32_carry_adversarial_scale():
     naive_cov = (raw - n * np.outer(mean_ref, mean_ref)) / (n - 1)
     naive_err = np.abs(naive_cov - cov_ref).max() / scale
     assert naive_err > err * 10, (naive_err, err)
+
+
+def test_staged_device_put_matches_direct(monkeypatch):
+    """Large host batches upload in bounded row slices (remote-device relays
+    wedge on single >~100 MB transfers); the staged result must be
+    elementwise identical to a direct put."""
+    from audio_metrics_tpu.parallel import pipeline as pl
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((10, 257)).astype(np.float32)
+    monkeypatch.setattr(pl, "_STAGE_ROWS", 3)
+    monkeypatch.setattr(pl, "_STAGE_BYTES", 100)  # force the staged path
+    out = pl._staged_device_put(a)
+    np.testing.assert_array_equal(np.asarray(out), a)
+    # small inputs take the direct path regardless of row count
+    monkeypatch.setattr(pl, "_STAGE_BYTES", 1 << 30)
+    out2 = pl._staged_device_put(a)
+    np.testing.assert_array_equal(np.asarray(out2), a)
