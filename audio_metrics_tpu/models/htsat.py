@@ -651,6 +651,14 @@ def _patch_merging_gather(x, params, prefix, cfg: HTSATConfig, resolution: int):
     return _linear(x, params, f"{prefix}.reduction")
 
 
+def _use_pallas_merge() -> bool:
+    return (
+        not os.environ.get("AM_TPU_NO_PALLAS")
+        and not os.environ.get("AM_TPU_NO_FUSED_MERGE")
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
     """Patch merging as ONE 2x2/stride-2 conv with the LayerNorm folded in.
 
@@ -662,6 +670,12 @@ def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
     over 2x2 patches IS a stride-2 conv, which XLA lowers straight onto the
     MXU with no materialized gather.  mu/var come from channel-mean passes
     pooled over the 2x2 patch (the concat never exists).
+
+    On the TPU backend the whole thing runs as ONE Pallas kernel
+    (ops/merge.patch_merge_pallas): the XLA form still walks the activations
+    through HBM three times (two stat passes + conv); the kernel does the
+    quadrant slices, LN stats and the four weight-block matmuls in a single
+    VMEM pass.
     """
     h = w = resolution
     b, _, c = x.shape
@@ -673,6 +687,19 @@ def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
     w_io = params[f"{prefix}.reduction.weight"].T.astype(jnp.float32)  # (4c, oc)
     oc = w_io.shape[1]
     wg = (g[:, None] * w_io).reshape(4, c, oc)
+
+    if _use_pallas_merge() and h % 2 == 0 and w % 2 == 0:
+        from ..ops.merge import patch_merge_pallas
+
+        return patch_merge_pallas(
+            x.astype(dt),
+            wg.astype(dt),
+            (g @ w_io).astype(jnp.float32),
+            (be @ w_io).astype(jnp.float32),
+            h=h,
+            w=w,
+            eps=float(cfg.layer_norm_eps),
+        )
     # concat block order j=[x00, x10, x01, x11] -> kernel (kh, kw) position
     ker = jnp.stack(
         [jnp.stack([wg[0], wg[2]], axis=0), jnp.stack([wg[1], wg[3]], axis=0)],

@@ -246,6 +246,7 @@ def main():
     import jax.numpy as jnp
 
     from audio_metrics_tpu import AudioMetrics
+    from audio_metrics_tpu.metrics.fad import _fad_tail_mode
     from audio_metrics_tpu.models.clap import LaionCLAP
 
     rng = np.random.default_rng(0)
@@ -356,7 +357,7 @@ def main():
                     "eval_timings_attributed": timings_attributed,
                     "real_weights": bool(embedder.real_weights),
                     "gelu_mode": os.environ.get("AM_TPU_GELU", "poly"),
-                    "fad_tail_mode": os.environ.get("AM_TPU_FAD_TAIL", "eigdev"),
+                    "fad_tail_mode": _fad_tail_mode(),
                     "compile_cache_at_start": _CACHE_STATE,
                     "metrics": {k: float(v) for k, v in result.items()},
                 }

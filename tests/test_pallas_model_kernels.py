@@ -846,3 +846,64 @@ def test_attention_v3_bf16_bitcast_roll(stage):
     )
     err = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(want)))
     assert err < 0.25, err
+
+
+def test_patch_merge_pallas_matches_conv_form():
+    """ops/merge.patch_merge_pallas (one-VMEM-pass quadrant merge) vs the
+    XLA conv-form _patch_merging — same folded-LN algebra, so interpret-mode
+    parity should be tight f32/bf16 class."""
+    from audio_metrics_tpu.models.htsat import _patch_merging
+    from audio_metrics_tpu.ops.merge import patch_merge_pallas
+
+    rng = np.random.default_rng(5)
+    b, h, c, oc = 3, 8, 128, 256
+    n = h * h
+    # adversarial: large common-mode offset so a raw-moment var would cancel
+    x = (50.0 + rng.standard_normal((b, n, c))).astype(np.float32)
+    params = {
+        "m.norm.weight": jnp.asarray(rng.standard_normal(4 * c), jnp.float32),
+        "m.norm.bias": jnp.asarray(rng.standard_normal(4 * c), jnp.float32),
+        "m.reduction.weight": jnp.asarray(
+            0.05 * rng.standard_normal((oc, 4 * c)), jnp.float32
+        ),
+    }
+    xb = jnp.asarray(x, jnp.bfloat16)
+    want = _patch_merging(xb, params, "m", cfg, h)  # CPU: XLA conv form
+
+    g = params["m.norm.weight"].astype(jnp.float32)
+    be = params["m.norm.bias"].astype(jnp.float32)
+    w_io = params["m.reduction.weight"].T.astype(jnp.float32)
+    wg = (g[:, None] * w_io).reshape(4, c, oc)
+    got = patch_merge_pallas(
+        xb,
+        wg.astype(jnp.bfloat16),
+        g @ w_io,
+        be @ w_io,
+        h=h,
+        w=h,
+        eps=float(cfg.layer_norm_eps),
+        interpret=True,
+    )
+    assert got.shape == want.shape == (b, (h // 2) * (h // 2), oc)
+    w32 = np.asarray(want, np.float32)
+    g32 = np.asarray(got, np.float32)
+    scale = np.abs(w32).max()
+    assert scale > 0
+    assert np.abs(g32 - w32).max() / scale < 2e-2  # bf16 output quantization
+    # and in f32-ish terms via correlation of the two outputs
+    assert np.corrcoef(g32.ravel(), w32.ravel())[0, 1] > 0.99999
+
+
+def test_patch_merge_kernel_lowers_for_tpu():
+    from functools import partial
+
+    from audio_metrics_tpu.ops.merge import patch_merge_pallas
+
+    x = jnp.zeros((8, 64 * 64, 128), jnp.bfloat16)
+    wg = jnp.zeros((4, 128, 256), jnp.bfloat16)
+    sv = jnp.zeros((256,), jnp.float32)
+    tv = jnp.zeros((256,), jnp.float32)
+    with jax.enable_x64(False):
+        jax.jit(
+            partial(patch_merge_pallas, h=64, w=64, eps=1e-5, interpret=False)
+        ).trace(x, wg, sv, tv).lower(lowering_platforms=("tpu",))
