@@ -17,7 +17,8 @@ export PYTHONPATH="$PWD:/root/.axon_site"
   echo "=== nightly real-TPU run $(date -Is) ==="
   echo "--- pallas kernel suites (compiled on chip) ---"
   AM_TPU_TEST_REAL=1 timeout 3600 python -m pytest \
-    tests/test_pallas_distance.py tests/test_pallas_model_kernels.py -q \
+    tests/test_pallas_distance.py tests/test_pallas_model_kernels.py \
+    tests/test_frontend_fused.py -q \
     | tee /tmp/nightly_pytest.out
   rc1=${PIPESTATUS[0]}
   echo "pallas suites rc=$rc1"

@@ -40,21 +40,23 @@ def main():
 
     emb = LaionCLAP(ckpt=None, compute_dtype="bfloat16", allow_random_weights=True)
     params = emb.params
-    for bs in (128, 256):
-        loop = _get_fused_embed_loop(emb, bs)
+    batches = [int(a) for a in sys.argv[1:]] or [128, 256]
+    loops = {bs: _get_fused_embed_loop(emb, bs) for bs in batches}
+    for bs in batches:  # first calls (compile + relay setup) off the clock
         t0 = time.perf_counter()
-        out = loop(params, w, N_CLIPS)
-        _ = sync(out)
-        warm = time.perf_counter() - t0
-        best = float("inf")
-        for _r in range(3):
+        _ = sync(loops[bs](params, w, N_CLIPS))
+        print(f"bs={bs} first call {time.perf_counter() - t0:.1f} s", flush=True)
+    best = {bs: float("inf") for bs in batches}
+    for _r in range(4):  # alternating rounds: same weather for every bs
+        for bs in batches:
             t0 = time.perf_counter()
-            out = loop(params, w, N_CLIPS)
-            _ = sync(out)
-            best = min(best, time.perf_counter() - t0)
+            _ = sync(loops[bs](params, w, N_CLIPS))
+            best[bs] = min(best[bs], time.perf_counter() - t0)
+    for bs in batches:
+        b = best[bs]
         print(
-            f"loop bs={bs}: {1e3 * best:7.1f} ms for {N_CLIPS} clips "
-            f"({N_CLIPS / best:6.0f} clips/s)  [first {warm:.1f} s]",
+            f"loop bs={bs}: {1e3 * b:7.1f} ms for {N_CLIPS} clips "
+            f"({N_CLIPS / b:6.0f} clips/s)",
             flush=True,
         )
 
