@@ -40,10 +40,11 @@ BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
 # B=128 amortizes best for BOTH nets on v5e since the reduce-free-softmax
 # + v4-fusion round (CLAP forward 36.7 ms/128 = 18.4/64 vs 19.7 at B=64;
 # earlier kernels favored 64: 2x35.3 vs 77.2)
-# 256 measured 545.9 vs 549.8 ms for the 2048-clip fused loop (bs=128,
-# scripts/probe_loop_batch.py, round 4) — fewer loop steps, same per-clip
-# math; the host-fed path still transfers in <=64-clip slices either way.
-_DEFAULT_BATCH = "256"
+# loop-batch sweep for the 2048-clip fused loop (scripts/probe_loop_batch.py,
+# round 4, same-process alternating rounds): 128 549.8 / 256 532.6 / 512
+# 529.2 ms — fewer loop steps, same per-clip math; the host-fed path still
+# transfers in <=64-clip slices either way, so big batches stay relay-safe.
+_DEFAULT_BATCH = "512"
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH))
 if BENCH_MODE == "vggish" and "BENCH_CLIPS" not in os.environ:
     N_CLIPS = 8192  # VGGish evaluates 2048 clips in ~0.3 s; a bigger set
