@@ -59,6 +59,20 @@ def _x32_scope():
         return contextlib.nullcontext()
 
 
+def _dot_precision(*operands):
+    """Explicit precision for in-kernel dots: DEFAULT when every operand is
+    bf16, else ambient.  Ambient ``jax_default_matmul_precision="highest"``
+    (the nightly's setting for its f32 parity oracles, tests/conftest.py)
+    otherwise reaches the kernel's dots and requests an fp32-contraction
+    ``tpu.matmul`` on bf16 operands, which Mosaic rejects with a bare
+    "Bad lhs type" — and bf16 operands carry no extra bits for HIGHEST to
+    preserve anyway.  f32 dots keep the ambient setting (pinning them to
+    DEFAULT would silently degrade the f32 parity path to bf16 passes)."""
+    if all(o.dtype == jnp.bfloat16 for o in operands):
+        return jax.lax.Precision.DEFAULT
+    return None
+
+
 _TARGET_BLOCK_BYTES = 2 * 1024 * 1024
 
 # COST-PROBE switch: replaces the v3/v4 window partition/reverse transposes

@@ -43,6 +43,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .attention import _dot_precision
+
 __all__ = ["clap_tokens_fused", "fused_frontend_supported"]
 
 
@@ -321,10 +323,13 @@ def clap_tokens_fused(
         # 1) chunked DFT over head+tail frame rows in one pass
         acc = None
         for k in range(n_chunks):
+            lhs = hops[slot, k : k + dft_rows]
+            rhs = basis_ref[k].astype(jnp.bfloat16)
             part = jnp.dot(
-                hops[slot, k : k + dft_rows],
-                basis_ref[k].astype(jnp.bfloat16),
+                lhs,
+                rhs,
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(lhs, rhs),
             )
             acc = part if acc is None else acc + part
         re = acc[:, :n_keep]
@@ -347,11 +352,14 @@ def clap_tokens_fused(
 
         # 4) phase-split bicubic interp: rows of phase dh are the interp
         # outputs patch column dh consumes; lane-concat the ps phases
+        mb = melbuf[...]
         xi = jnp.concatenate(
             [
                 jnp.dot(
-                    wi_ref[dh], melbuf[...],
+                    wi_ref[dh],
+                    mb,
                     preferred_element_type=jnp.float32,
+                    precision=_dot_precision(wi_ref[dh], mb),
                 ).astype(jnp.bfloat16)
                 for dh in range(ps)
             ],
@@ -359,8 +367,14 @@ def clap_tokens_fused(
         )  # (ratio*gw, ps*n_mels), lanes ordered (dh, f)
 
         # 5) patch embed: one matmul against the zero-padded block operand
+        qc = qcat_ref[:]
         tok = (
-            jnp.dot(xi, qcat_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                xi,
+                qc,
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(xi, qc),
+            )
             + pb_ref[:]
         )  # (ratio*gw, fb*C), rows (chunk, g), lane blocks fblk
 

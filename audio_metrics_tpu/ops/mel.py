@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .attention import _dot_precision
+
 __all__ = [
     "mel_filter_bank",
     "log_mel_spectrogram",
@@ -310,8 +312,13 @@ def log_mel_pallas(
             sc_ref, of_ref, out_ref = rest
         else:
             (out_ref,) = rest
+        fr = fr_ref[:]
+        bs = basis_ref[:]
         p = jnp.dot(
-            fr_ref[:], basis_ref[:], preferred_element_type=jnp.float32
+            fr,
+            bs,
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(fr, bs),
         )
         re = p[:, :n_bins_keep]
         im = p[:, n_bins_keep:]
@@ -496,10 +503,13 @@ def log_mel_pallas_halo(
         copy_for(step, slot).wait()
         acc = None
         for k in range(n_chunks):
+            lhs = hops[slot, k : k + t_frames]
+            rhs = basis_ref[k].astype(basis_dtype)
             part = jnp.dot(
-                hops[slot, k : k + t_frames],
-                basis_ref[k].astype(basis_dtype),
+                lhs,
+                rhs,
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(lhs, rhs),
             )
             acc = part if acc is None else acc + part
         re = acc[:, :n_bins_keep]

@@ -45,6 +45,9 @@ import jax.numpy as jnp
 __all__ = ["patch_merge_pallas"]
 
 
+from .attention import _dot_precision
+
+
 def _kernel(h, w, eps, x_ref, wg_ref, sv_ref, tv_ref, out_ref):
     ib = x_ref.shape[0]
     c = x_ref.shape[-1] // 2
@@ -81,11 +84,13 @@ def _kernel(h, w, eps, x_ref, wg_ref, sv_ref, tv_ref, out_ref):
     # applied algebraically afterwards — same association as the conv form
     raw = None
     for j, q in enumerate(quads):
+        w_j = wg_ref[j]
         part = jax.lax.dot_general(
             q,
-            wg_ref[j],
+            w_j,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q, w_j),
         )
         raw = part if raw is None else raw + part
     sv = sv_ref[...].reshape(1, oc)

@@ -7,6 +7,8 @@ real-TPU behaviour is covered by the bench and by offline lowering (each
 kernel's pallas_call lowers for the tpu platform — checked here too).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -868,7 +870,14 @@ def test_patch_merge_pallas_matches_conv_form():
         ),
     }
     xb = jnp.asarray(x, jnp.bfloat16)
-    want = _patch_merging(xb, params, "m", cfg, h)  # CPU: XLA conv form
+    # force the XLA conv form for the oracle: on the TPU backend (nightly,
+    # AM_TPU_TEST_REAL=1) _patch_merging would otherwise dispatch to the
+    # very kernel under test
+    os.environ["AM_TPU_NO_FUSED_MERGE"] = "1"
+    try:
+        want = _patch_merging(xb, params, "m", cfg, h)  # XLA conv form
+    finally:
+        del os.environ["AM_TPU_NO_FUSED_MERGE"]
 
     g = params["m.norm.weight"].astype(jnp.float32)
     be = params["m.norm.bias"].astype(jnp.float32)
