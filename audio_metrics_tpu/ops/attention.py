@@ -162,18 +162,27 @@ def _attn_block_kernel(
 
     acc = jnp.zeros((rows, c), jnp.float32)
     for h in range(heads):
+        prec = _dot_precision(xw, wq_ref[h])
         q = (
-            jnp.dot(xw, wq_ref[h], preferred_element_type=jnp.float32)
+            jnp.dot(
+                xw, wq_ref[h],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
             + bq_ref[h].astype(jnp.float32)
         ).astype(dt)
-        k = jnp.dot(xw, wk_ref[h], preferred_element_type=jnp.float32).astype(dt)
-        v = jnp.dot(xw, wv_ref[h], preferred_element_type=jnp.float32).astype(dt)
+        k = jnp.dot(
+            xw, wk_ref[h], preferred_element_type=jnp.float32, precision=prec
+        ).astype(dt)
+        v = jnp.dot(
+            xw, wv_ref[h], preferred_element_type=jnp.float32, precision=prec
+        ).astype(dt)
         d = q.shape[-1]
         s = jax.lax.dot_general(
             q.reshape(g, n, d),
             k.reshape(g, n, d),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q, k),
         )
         bm = bm_ref[:, h]  # (nW, n, n) f32
         if bm_ref.shape[0] == 1:
@@ -190,9 +199,13 @@ def _attn_block_kernel(
             v.reshape(g, n, d),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(p, v),
         ).astype(dt)
         acc = acc + jnp.dot(
-            ctx.reshape(g * n, d), wp_ref[h], preferred_element_type=jnp.float32
+            ctx.reshape(g * n, d),
+            wp_ref[h],
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(ctx, wp_ref[h]),
         )
 
     ow = acc + bp_ref[:].astype(jnp.float32)
@@ -270,7 +283,12 @@ def _attn_block_kernel_v2(
     )
 
     y = (
-        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(
+            xw,
+            wqkv_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(xw, wqkv_ref[:]),
+        )
         + bq_ref[:].astype(jnp.float32)
     ).astype(dt)
     q = y[:, :c].reshape(g, n, c)
@@ -286,6 +304,7 @@ def _attn_block_kernel_v2(
             k * mask,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q, k),
         )
         bm = bm_ref[:, h]
         if bm_ref.shape[0] == 1:
@@ -302,14 +321,17 @@ def _attn_block_kernel_v2(
             v * mask,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(p, v),
         )
         ctx = part if ctx is None else ctx + part
 
+    ctx_dt = ctx.reshape(g * n, c).astype(dt)
     ow = (
         jnp.dot(
-            ctx.reshape(g * n, c).astype(dt),
+            ctx_dt,
             wp_ref[:],
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(ctx_dt, wp_ref[:]),
         )
         + bp_ref[:].astype(jnp.float32)
     )
@@ -557,6 +579,7 @@ def _attn_windows_to_ctx(
                 qg, kg,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(qg, kg),
             )  # (g, n, n)
             bg = bmw_ref[:, :, j * gn : j * gn + n]
             if bmw_ref.shape[0] == 1:
@@ -569,10 +592,12 @@ def _attn_windows_to_ctx(
             den = jax.lax.dot_general(
                 e, sel[:n], dimension_numbers=(((2,), (0,)), ((), ()))
             )  # (g, n, gh)
+            ew = e.astype(dt)
             raw = jax.lax.dot_general(
-                e.astype(dt), vg,
+                ew, vg,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(ew, vg),
             )  # (g, n, gw)
             rwl = jax.lax.dot_general(
                 1.0 / den, sel_lane, dimension_numbers=(((2,), (0,)), ((), ()))
@@ -593,6 +618,7 @@ def _attn_windows_to_ctx(
             kw,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(qg, kw),
         )  # (g, n, gn)
         bg = bmw_ref[:, :, j * gn : (j + 1) * gn]
         if bmw_ref.shape[0] == 1:
@@ -628,11 +654,13 @@ def _attn_windows_to_ctx(
             # rows of vw are nonzero, so 1/den[:, h] is a constant factor
             # of every contributing term.  Overflow-safe: e <= exp(80) and
             # n <= 64, so the f32 partial sums stay < 2^127.
+            ew = e.astype(dt)
             raw = jax.lax.dot_general(
-                e.astype(dt),
+                ew,
                 vw,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(ew, vw),
             )  # (g, n, gw), unnormalized
             rwl = jax.lax.dot_general(
                 1.0 / den, sel_lane, dimension_numbers=(((2,), (0,)), ((), ()))
@@ -650,6 +678,7 @@ def _attn_windows_to_ctx(
                     vw,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
+                    precision=_dot_precision(p, vw),
                 )  # (g, n, gw): head h's context in its own lane range
             )
     return parts[0] if ngroups == 1 else jnp.concatenate(parts, axis=-1)
@@ -722,7 +751,13 @@ def _attn_residual_rows(
     csum = jnp.sum(wqkv_ref[:].astype(jnp.float32), axis=0)  # (3c,) == 1@W
 
     y = (
-        jnp.dot(xw, wqkv_ref[:], preferred_element_type=jnp.float32) * rs
+        jnp.dot(
+            xw,
+            wqkv_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(xw, wqkv_ref[:]),
+        )
+        * rs
         - (rs * mu) * csum[None, :]
         + bq_ref[:].astype(jnp.float32)
     ).astype(dt)
@@ -731,11 +766,13 @@ def _attn_residual_rows(
     v = y[:, 2 * c :].reshape(g, n, c)
 
     ctx = _attn_windows_to_ctx(heads, n, grouped, g, q, k, v, bmw_ref, kb)
+    ctx_dt = ctx.reshape(g * n, c).astype(dt)
     ow = (
         jnp.dot(
-            ctx.reshape(g * n, c).astype(dt),
+            ctx_dt,
             wp_ref[:],
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(ctx_dt, wp_ref[:]),
         )
         + bp_ref[:].astype(jnp.float32)
     )
@@ -964,11 +1001,20 @@ def _swin_block_kernel_v4(
         nch = 1  # chunk boundaries must stay 128-lane-aligned
     if nch == 1:
         h1 = gelu(
-            jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                h,
+                w1_ref[:],
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(h, w1_ref[:]),
+            )
             + b1_ref[:].astype(jnp.float32)
         )
+        h1_dt = h1.astype(dt)
         h2 = jnp.dot(
-            h1.astype(dt), w2_ref[:], preferred_element_type=jnp.float32
+            h1_dt,
+            w2_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(h1_dt, w2_ref[:]),
         ) + b2_ref[:].astype(jnp.float32)
     else:
         # Hidden-dim chunking: fc1/GELU/fc2 over independent 128-aligned
@@ -979,18 +1025,23 @@ def _swin_block_kernel_v4(
         hc = hidden // nch
         acc = None
         for j in range(nch):
+            w1j = w1_ref[:, j * hc : (j + 1) * hc]
             t1 = gelu(
                 jnp.dot(
                     h,
-                    w1_ref[:, j * hc : (j + 1) * hc],
+                    w1j,
                     preferred_element_type=jnp.float32,
+                    precision=_dot_precision(h, w1j),
                 )
                 + b1_ref[j * hc : (j + 1) * hc].astype(jnp.float32)
             )
+            t1_dt = t1.astype(dt)
+            w2j = w2_ref[j * hc : (j + 1) * hc, :]
             pj = jnp.dot(
-                t1.astype(dt),
-                w2_ref[j * hc : (j + 1) * hc, :],
+                t1_dt,
+                w2j,
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(t1_dt, w2j),
             )
             acc = pj if acc is None else acc + pj
         h2 = acc + b2_ref[:].astype(jnp.float32)

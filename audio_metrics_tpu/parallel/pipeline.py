@@ -114,19 +114,28 @@ def batch_accumulator(items, batch_size=32):
         yield {"audio": np.stack(audio), "category": np.array(category)}
 
 
-def _bucketed_batches(items, batch_size):
+def _bucketed_batches(items, batch_size, pad_host=False):
     """Group categorized items into homogeneous fixed-size padded batches.
 
     Two buckets: stereo pairs (aligned/misaligned — need mixing) and mono
     stems (pass-through).  Homogeneous buckets mean each device program does
     no wasted work and compiles once.  Yields
-    ``(kind, audio[B, ...], category[B], valid[B])`` with B == batch_size.
+    ``(kind, audio[n, ...], category[B], valid[B])`` with B == batch_size.
+
+    A partial final batch keeps only its real audio rows unless ``pad_host``
+    — the consumer pads to B rows ON DEVICE after upload, so the pad rows
+    never cross the host link.  With batch_size 512 and a 128-clip host-fed
+    set, host-side padding quadrupled the upload bytes, which is exactly the
+    host-fed throughput collapse BENCH_r04.json recorded (17.8 -> 4.54
+    clips/s through the ~27 MB/s relay).  The mesh-sharded path sets
+    ``pad_host=True``: sharded uploads need the row count to tile over the
+    mesh.
     """
 
     def flush(kind, audio_list, cat_list):
         n = len(audio_list)
         audio = np.stack(audio_list).astype(np.float32, copy=False)
-        if n < batch_size:
+        if pad_host and n < batch_size:
             pad = np.zeros((batch_size - n,) + audio.shape[1:], dtype=np.float32)
             audio = np.concatenate([audio, pad], axis=0)
         category = np.zeros(batch_size, dtype=np.int32)
@@ -849,7 +858,9 @@ def embedding_pipeline(
             shuffled = None
 
         categorized = serialize_items(windows, shuffled, apa_mode, stems_mode)
-        batches = _bucketed_batches(categorized, batch_size)
+        batches = _bucketed_batches(
+            categorized, batch_size, pad_host=batch_sharding_ is not None
+        )
 
     # result accumulators (reference embed.py:218-224)
     metrics_data: dict[ItemCategory, AudioMetricsData] = {}
@@ -899,6 +910,20 @@ def embedding_pipeline(
             audio = _staged_device_put(audio, batch_sharding_)
         elif batch_sharding_ is not None:
             audio = jax.device_put(jnp.asarray(audio), batch_sharding_)
+        if audio.shape[0] < batch_size:
+            # partial final batch: only the real rows crossed the host link
+            # (_bucketed_batches pad_host=False); pad to the fixed program
+            # shape on device — HBM zeros are ~free, relay bytes are not
+            audio = jnp.concatenate(
+                [
+                    audio,
+                    jnp.zeros(
+                        (batch_size - audio.shape[0],) + audio.shape[1:],
+                        audio.dtype,
+                    ),
+                ],
+                axis=0,
+            )
         if need_resample:
             audio = _device_resample(audio, input_sr, embedder.sr)
         if kind == "pair":

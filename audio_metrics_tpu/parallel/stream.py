@@ -1,13 +1,19 @@
 """Host-side streaming map utilities.
 
-Counterparts of reference util/cpu_parallel.py:7-62 and
-util/gpu_parallel.py:79-118, which the reference's example scripts use
-directly (examples/2_musdb.py:40-41).  In this framework the embedding
-pipeline does not need them — device work is batched jitted programs — but
-the utilities remain useful for custom preprocessing streams:
+Fills the role of the reference's L3 host runtime (util/cpu_parallel.py,
+util/gpu_parallel.py:79-118), which its example scripts use directly
+(examples/2_musdb.py:40-41).  In this framework the embedding pipeline does
+not need a host worker pool — device work is batched jitted programs — but
+the utilities remain useful for custom preprocessing streams.
 
-- :func:`cpu_parallel` — bounded-buffer streaming map over an iterator using
-  a thread or process pool (backpressure at ``in_buffer_size``).
+Both utilities share one design: a bounded in-flight window held in a single
+deque, drained from the front in submission order.  Results are therefore
+emitted **in input order** (unlike the reference, which emits in completion
+order); backpressure comes from blocking on the oldest outstanding piece of
+work once the window is full.
+
+- :func:`cpu_parallel` — streaming parallel map over an iterator using a
+  thread or process pool.
 - :func:`device_map_stream` — the TPU analog of ``gpu_parallel``: map a
   jitted function over a stream of batches with double-buffered dispatch
   (jax's async dispatch overlaps host feeding with device compute; no
@@ -19,22 +25,16 @@ from __future__ import annotations
 import concurrent.futures as cf
 from collections import deque
 
-__all__ = ["cpu_parallel", "device_map_stream", "handle_futures"]
+__all__ = ["cpu_parallel", "device_map_stream"]
 
 
-def handle_futures(futures, discard_inputs, size=None):
-    """Yield results of completed futures, draining down to ``size``
-    (reference cpu_parallel.py:7-24)."""
-    for fut in cf.as_completed(futures):
-        if size is not None and len(futures) < size:
-            break
-        ready_result = fut.result()
-        ready_item = futures.pop(fut)
-        if discard_inputs:
-            yield ready_result
-        else:
-            ready_item.update(ready_result)
-            yield ready_item
+def _emit(fut, item, discard_input):
+    """Resolve one finished piece of work into its output record."""
+    result = fut.result()
+    if discard_input:
+        return result
+    item.update(result)
+    return item
 
 
 def cpu_parallel(
@@ -47,30 +47,30 @@ def cpu_parallel(
     in_buffer_size=None,
     out_buffer_size=None,
 ):
-    """Streaming parallel map with bounded in/out buffers.
+    """Streaming parallel map with a bounded in-flight window.
 
-    Signature-compatible with the reference (cpu_parallel.py:26-62); ``desc``
-    is accepted for parity and ignored.
+    Accepts the reference's keyword surface (cpu_parallel.py:26) so caller
+    code ports unchanged, but the semantics here are deliberately simpler:
+    one submission-ordered window of at most ``in_buffer_size +
+    out_buffer_size`` outstanding items, emitted strictly in input order.
+    ``desc`` (a tqdm label in the reference) is accepted and ignored.
     """
     del desc
-    executor_cls = cf.ThreadPoolExecutor if use_threads else cf.ProcessPoolExecutor
-    if in_buffer_size is None:
-        in_buffer_size = 2 * max(n_workers, 1)
-    if out_buffer_size is None:
-        out_buffer_size = 2 * max(n_workers, 1)
-    with executor_cls(max_workers=n_workers or None) as pool:
-        futures = {}
-        ready = {}
+    pool_cls = cf.ThreadPoolExecutor if use_threads else cf.ProcessPoolExecutor
+    fallback = 2 * max(n_workers, 1)
+    window = (in_buffer_size if in_buffer_size is not None else fallback) + (
+        out_buffer_size if out_buffer_size is not None else fallback
+    )
+    with pool_cls(max_workers=n_workers or None) as pool:
+        inflight = deque()
         for item in iterator:
-            fut = pool.submit(target, item)
-            futures[fut] = None if discard_input else item
-            if len(futures) >= in_buffer_size:
-                done, _ = cf.wait(futures, return_when=cf.FIRST_COMPLETED)
-                for fut in done:
-                    ready[fut] = futures.pop(fut)
-            yield from handle_futures(ready, discard_input, out_buffer_size)
-        yield from handle_futures(ready, discard_input)
-        yield from handle_futures(futures, discard_input)
+            inflight.append((pool.submit(target, item), item))
+            # Emit any head-of-line work that already finished; once the
+            # window is full, block on the oldest future (backpressure).
+            while inflight and (len(inflight) > window or inflight[0][0].done()):
+                yield _emit(*inflight.popleft(), discard_input)
+        while inflight:
+            yield _emit(*inflight.popleft(), discard_input)
 
 
 def device_map_stream(batches, fn, depth: int = 2):

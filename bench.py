@@ -102,10 +102,21 @@ def _warmup_breakdown(total_s, t_add, t_eval):
 # warmup.  NOTE: dispatch is async — a program whose executable upload is
 # deferred shows up in the first *blocking* entry after it instead.
 _PROGRAM_LEDGER: list = []
+# When True (warmup only), each first call BLOCKS on its outputs before the
+# ledger records it: async dispatch otherwise defers the relay executable
+# registration — the dominant warmup mass (BASELINE.md round-3 attribution)
+# — into whatever transfer blocks next, so the r4 ledger named only ~35 s
+# of 159 s untracked.  device_get is the block (CLAUDE.md:
+# block_until_ready does not reliably block through the relay); outputs are
+# bounded (largest: the fused loop's ~5 MB buf+moments, ~0.2 s at relay
+# bandwidth), and the mode is off for every timed run.
+_LEDGER_SYNC = [False]
+_LEDGER_IN_SYNC = [False]  # recursion guard: device_get can dispatch
 
 
 def _install_program_ledger():
     try:
+        import jax
         import jax._src.pjit as _pjit
 
         orig = _pjit._pjit_call_impl_python
@@ -113,6 +124,19 @@ def _install_program_ledger():
         def timed(*args, **kwargs):
             t0 = time.perf_counter()
             out = orig(*args, **kwargs)
+            if _LEDGER_SYNC[0] and not _LEDGER_IN_SYNC[0]:
+                _LEDGER_IN_SYNC[0] = True
+                try:
+                    leaves = [
+                        x
+                        for x in jax.tree_util.tree_leaves(out)
+                        if hasattr(x, "nbytes") and x.nbytes <= (32 << 20)
+                    ]
+                    jax.device_get(leaves)
+                except Exception:
+                    pass
+                finally:
+                    _LEDGER_IN_SYNC[0] = False
             dt = time.perf_counter() - t0
             _PROGRAM_LEDGER.append((kwargs.get("name", "?"), dt))
             return out
@@ -276,11 +300,13 @@ def main():
 
     jax.monitoring.register_event_duration_secs_listener(_phase_listener)
     _install_program_ledger()
+    _LEDGER_SYNC[0] = True
     t0 = time.perf_counter()
     am.add_reference(reference)
     t_wadd = time.perf_counter() - t0
     am.evaluate(candidate)
     warmup_s = time.perf_counter() - t0
+    _LEDGER_SYNC[0] = False
     breakdown = _warmup_breakdown(warmup_s, t_wadd, warmup_s - t_wadd)
     breakdown["program_first_calls"] = _program_ledger_summary()
     am.reset_reference()

@@ -850,7 +850,42 @@ def test_attention_v3_bf16_bitcast_roll(stage):
     assert err < 0.25, err
 
 
-def test_patch_merge_pallas_matches_conv_form():
+def test_attention_v4_bf16_compiled_on_chip():
+    """Nightly-only (AM_TPU_TEST_REAL=1): compile and EXECUTE the v4
+    whole-block kernel with bf16 activations/weights on the real chip.
+
+    The interpret-mode suite cannot see Mosaic lowering failures — in
+    particular the bf16-dot-under-``jax_default_matmul_precision="highest"``
+    "Bad lhs type" class the round-4 nightly caught for the merge/frontend
+    kernels (the nightly conftest sets HIGHEST for its f32 oracles, which is
+    exactly the regression condition).  This smoke covers attention.py's
+    in-kernel dots: one shifted stage-0 block and one unshifted stage-2
+    block (grouped path), executed non-interpret.
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires real TPU (nightly, AM_TPU_TEST_REAL=1)")
+    from audio_metrics_tpu.models.htsat import _whole_block_pallas_v4
+
+    rng = np.random.default_rng(3)
+    params = jax.tree.map(jnp.asarray, init_params(cfg, seed=0))
+    for stage, shift in ((0, 4), (2, 0)):
+        res = cfg.grid_size // 2**stage
+        c = cfg.embed_dim * 2**stage
+        heads = cfg.num_heads[stage]
+        window = min(cfg.window_size, res)
+        prefix = f"audio_encoder.layers.{stage}.blocks.0"
+        x = jnp.asarray(
+            rng.normal(size=(2, res * res, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        out = _whole_block_pallas_v4(
+            x, params, prefix, cfg, res, shift, heads, window
+        )
+        arr = np.asarray(out, np.float32)
+        assert arr.shape == (2, res * res, c)
+        assert np.isfinite(arr).all()
+
+
+def test_patch_merge_pallas_matches_conv_form(monkeypatch):
     """ops/merge.patch_merge_pallas (one-VMEM-pass quadrant merge) vs the
     XLA conv-form _patch_merging — same folded-LN algebra, so interpret-mode
     parity should be tight f32/bf16 class."""
@@ -873,11 +908,9 @@ def test_patch_merge_pallas_matches_conv_form():
     # force the XLA conv form for the oracle: on the TPU backend (nightly,
     # AM_TPU_TEST_REAL=1) _patch_merging would otherwise dispatch to the
     # very kernel under test
-    os.environ["AM_TPU_NO_FUSED_MERGE"] = "1"
-    try:
+    with monkeypatch.context() as mp:
+        mp.setenv("AM_TPU_NO_FUSED_MERGE", "1")
         want = _patch_merging(xb, params, "m", cfg, h)  # XLA conv form
-    finally:
-        del os.environ["AM_TPU_NO_FUSED_MERGE"]
 
     g = params["m.norm.weight"].astype(jnp.float32)
     be = params["m.norm.bias"].astype(jnp.float32)
