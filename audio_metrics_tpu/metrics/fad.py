@@ -170,6 +170,23 @@ def _tail_program(d: int, mode: str, ns_iter: int = 30):
     return jax.jit(run)
 
 
+# 1/(n-1) device scalars cached per n: a numpy scalar argument is a fresh
+# host->device transfer (one relay round trip) on every dispatch, and the
+# candidate set size repeats across evaluates by construction.
+_INV_NM1_CACHE: dict = {}
+
+
+def _inv_nm1_dev(n: int):
+    import jax.numpy as jnp
+
+    v = _INV_NM1_CACHE.get(n)
+    if v is None:
+        if len(_INV_NM1_CACHE) > 256:
+            _INV_NM1_CACHE.clear()
+        v = _INV_NM1_CACHE[n] = jnp.asarray(1.0 / (n - 1), jnp.float32)
+    return v
+
+
 def _ref_chol_device(ref: AudioMetricsData, l: np.ndarray):
     """f32 device copy of the reference Cholesky factor, cached by factor
     identity (chol_cov() itself caches by cov identity, so the upload —
@@ -217,7 +234,7 @@ def fad_device_tail(cand: AudioMetricsData, ref: AudioMetricsData, mode=None):
         return None
     l_dev = _ref_chol_device(ref, l)
     arrs = _tail_program(d, mode, _ns_iters())(
-        m2, s1, l_dev, np.float32(1.0 / (n - 1))
+        m2, s1, l_dev, _inv_nm1_dev(int(n))
     )
 
     def finish(host_vals) -> float:

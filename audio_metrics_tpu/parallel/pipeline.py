@@ -381,6 +381,22 @@ def _get_fused_embed_loop_sharded(embedder, batch_size: int, mesh):
     return loop
 
 
+# n_valid device scalars, cached per value: each jnp.asarray of a host int
+# is its own host->device transfer, a full round trip on remote-device
+# relays, paid per add_reference/evaluate otherwise (the eval-set size
+# repeats across calls by construction).
+_N_VALID_CACHE: dict = {}
+
+
+def _n_valid_dev(n: int):
+    v = _N_VALID_CACHE.get(n)
+    if v is None:
+        if len(_N_VALID_CACHE) > 256:
+            _N_VALID_CACHE.clear()
+        v = _N_VALID_CACHE[n] = jnp.asarray(n, jnp.int32)
+    return v
+
+
 def _run_fused_embed(embedder, w, n, batch_size, mesh):
     """Dispatch the fused loop, sharded when a real mesh is present.
 
@@ -399,7 +415,7 @@ def _run_fused_embed(embedder, w, n, batch_size, mesh):
         params = getattr(embedder, "params", {})
         params = jax.device_put(params, replicated_sharding(mesh))
         loop = _get_fused_embed_loop_sharded(embedder, batch_size, mesh)
-        buf, nn, s1, m2 = loop(params, w, jnp.asarray(n, jnp.int32))
+        buf, nn, s1, m2 = loop(params, w, _n_valid_dev(int(n)))
         nn, s1, m2 = jax.device_get((nn, s1, m2))
         triples = [(nn[i], s1[i], m2[i]) for i in range(nn.shape[0])]
         return buf, triples
@@ -408,7 +424,7 @@ def _run_fused_embed(embedder, w, n, batch_size, mesh):
         w = jnp.pad(w, ((0, pad), (0, 0)))
     loop = _get_fused_embed_loop(embedder, batch_size)
     buf, nn, s1, m2 = loop(
-        getattr(embedder, "params", {}), w, jnp.asarray(n, jnp.int32)
+        getattr(embedder, "params", {}), w, _n_valid_dev(int(n))
     )
     # NO host sync here: n is host-known (the loop's mask counts exactly the
     # first n rows) and s1/m2 stay in flight — AudioMetricsData merges them
