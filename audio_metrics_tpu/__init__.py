@@ -13,7 +13,7 @@ Public API mirrors the reference (src/audio_metrics/__init__.py:8):
 
 import os
 
-__version__ = "0.8.0"
+__version__ = "0.9.0"
 
 # Double precision is required for distribution statistics (the reference
 # accumulates mean/covariance in torch.float64, data.py:27) and for the f64

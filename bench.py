@@ -44,7 +44,11 @@ BENCH_MODE = os.environ.get("BENCH_MODE", "stems")  # "stems" | "apa" | "vggish"
 # round 4, same-process alternating rounds): 128 549.8 / 256 532.6 / 512
 # 529.2 ms — fewer loop steps, same per-clip math; the host-fed path still
 # transfers in <=64-clip slices either way, so big batches stay relay-safe.
-_DEFAULT_BATCH = "512"
+# Round-5 extension (512/1024/2048, alternating best-of-4): 512 532.2 /
+# 1024 533.6 / 2048 526.5 ms — the whole-set one-step "loop" wins ~1%
+# (no dynamic slice/update steps).  Host-fed batches upload real rows
+# only (device-side padding), so the big batch stays relay-safe there too.
+_DEFAULT_BATCH = "2048"
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH))
 if BENCH_MODE == "vggish" and "BENCH_CLIPS" not in os.environ:
     N_CLIPS = 8192  # VGGish evaluates 2048 clips in ~0.3 s; a bigger set
@@ -217,7 +221,9 @@ def main_apa():
         mix_function="L0",
         win_dur=CLIP_SECONDS,
         input_sr=SR,
-        batch_size=BATCH_SIZE,
+        # cap at the per-category window count: the fused loop pads N up to
+        # a batch multiple, so a batch above n_pairs would embed pad rows
+        batch_size=min(BATCH_SIZE, n_pairs),
     )
     t0 = time.perf_counter()
     am.add_reference(reference)
@@ -284,7 +290,8 @@ def main():
         mix_function="L0",
         win_dur=CLIP_SECONDS,
         input_sr=SR,
-        batch_size=BATCH_SIZE,
+        # cap at the set size: the fused loop pads N up to a batch multiple
+        batch_size=min(BATCH_SIZE, N_CLIPS),
     )
 
     # reference + candidate sets generated on device (jax PRNG)
@@ -415,7 +422,7 @@ def main_vggish():
         mix_function="L0",
         win_dur=CLIP_SECONDS,
         input_sr=sr,
-        batch_size=BATCH_SIZE,
+        batch_size=min(BATCH_SIZE, N_CLIPS),
     )
     t0 = time.perf_counter()
     am.add_reference(reference)
