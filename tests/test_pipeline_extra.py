@@ -339,3 +339,46 @@ def test_staged_device_put_matches_direct(monkeypatch):
     monkeypatch.setattr(pl, "_STAGE_BYTES", 1 << 30)
     out2 = pl._staged_device_put(a)
     np.testing.assert_array_equal(np.asarray(out2), a)
+
+
+def test_device_pad_matches_host_pad():
+    """A partial final batch uploads real rows only and is zero-padded to
+    the program shape on device (the round-4 host-side padding uploaded 4x
+    the bytes through the relay, BASELINE.md round-5 row); results must be
+    bitwise identical either way — pad rows are masked by ``valid`` in
+    every consumer."""
+    from audio_metrics_tpu.models import get_embedder
+    from audio_metrics_tpu.parallel import pipeline as pl
+
+    rng = np.random.default_rng(7)
+    stems = [rng.standard_normal(16000).astype(np.float32) for _ in range(5)]
+    emb = get_embedder("dummy")
+
+    def run(pad_host):
+        orig = pl._bucketed_batches
+
+        def forced(items, batch_size, **_kw):
+            return orig(items, batch_size, pad_host=pad_host)
+
+        pl._bucketed_batches = forced
+        try:
+            out = pl.embedding_pipeline(
+                [np.array(s) for s in stems],
+                emb,
+                lambda a, sr: a,
+                stems_mode=True,
+                store_stem_embeddings=True,
+                batch_size=4,  # 5 stems -> one full + one partial batch
+                win_dur=1.0,
+                input_sr=16000,
+            )
+        finally:
+            pl._bucketed_batches = orig
+        amd = out[pl.ItemCategory.stem]
+        return np.asarray(amd.embeddings), np.asarray(amd.mean)
+
+    e_dev, m_dev = run(pad_host=False)
+    e_host, m_host = run(pad_host=True)
+    assert e_dev.shape[0] == 5
+    np.testing.assert_array_equal(e_dev, e_host)
+    np.testing.assert_array_equal(m_dev, m_host)
