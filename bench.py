@@ -211,8 +211,11 @@ def main_apa():
     n = int(SR * CLIP_SECONDS)
     n_pairs = int(os.environ.get("BENCH_PAIRS", "1024"))
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    reference = 0.2 * jax.random.normal(k1, (n_pairs, n, 2), jnp.float32)
-    candidate = 0.2 * jax.random.normal(k2, (n_pairs, n, 2), jnp.float32)
+    gen = jax.jit(  # fused scale: no set-sized transient (see main())
+        lambda k: 0.2 * jax.random.normal(k, (n_pairs, n, 2), jnp.float32)
+    )
+    reference = gen(k1)
+    candidate = gen(k2)
     jax.block_until_ready((reference, candidate))
 
     am = AudioMetrics(
@@ -221,9 +224,10 @@ def main_apa():
         mix_function="L0",
         win_dur=CLIP_SECONDS,
         input_sr=SR,
-        # cap at the per-category window count: the fused loop pads N up to
-        # a batch multiple, so a batch above n_pairs would embed pad rows
-        batch_size=min(BATCH_SIZE, n_pairs),
+        # cap at the per-category window count (the fused loop pads N up
+        # to a batch multiple) and at 512 — the proven APA HBM envelope:
+        # each category's windows + mixes stay resident during evaluate
+        batch_size=min(BATCH_SIZE, n_pairs, 512),
     )
     t0 = time.perf_counter()
     am.add_reference(reference)
@@ -260,7 +264,7 @@ def main_apa():
                 "detail": {
                     "mode": "apa",
                     "n_pairs": n_pairs,
-                    "batch_size": BATCH_SIZE,
+                    "batch_size": am.batch_size,
                     "warmup_s": round(warmup_s, 2),
                     "add_reference_s": round(t_ref, 2),
                     "evaluate_s": round(t_eval, 2),
@@ -294,11 +298,23 @@ def main():
         batch_size=min(BATCH_SIZE, N_CLIPS),
     )
 
-    # reference + candidate sets generated on device (jax PRNG)
+    # reference + candidate sets generated on device (jax PRNG).
+    # BENCH_CLIPS_REF decouples the reference size (default: same as the
+    # candidate) — an 8192+8192 f32 pair would exceed v5e HBM, while
+    # ref 2048 + cand 8192 fits and still drives the N^2 metric tails at
+    # 2048 x 8192 (the scaling configuration recorded in BASELINE.md).
+    n_ref = int(os.environ.get("BENCH_CLIPS_REF", str(N_CLIPS)))
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    reference = 0.2 * jax.random.normal(k1, (N_CLIPS, n), jnp.float32)
-    candidate = 0.2 * jax.random.normal(k2, (N_CLIPS, n), jnp.float32)
+    # jit fuses the 0.2x scale into the PRNG output: the eager form holds
+    # TWO set-sized arrays during generation, which OOMs v5e HBM at the
+    # 8192-clip scaling configuration (2x 7.9 GB transient)
+    gen = jax.jit(
+        lambda k, m: 0.2 * jax.random.normal(k, (m, n), jnp.float32),
+        static_argnums=1,
+    )
+    reference = gen(k1, n_ref)
+    candidate = gen(k2, N_CLIPS)
     jax.block_until_ready((reference, candidate))
 
     # warmup: compile embed/moment programs AND the metric programs (KD
@@ -380,7 +396,7 @@ def main():
             {
                 "detail": {
                     "n_clips": N_CLIPS,
-                    "batch_size": BATCH_SIZE,
+                    "batch_size": am.batch_size,
                     "warmup_s": round(warmup_s, 2),
                     "warmup_breakdown": breakdown,
                     "add_reference_s": round(t_ref, 2),
@@ -414,15 +430,21 @@ def main_vggish():
     n = int(sr * CLIP_SECONDS)
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    reference = 0.2 * jax.random.normal(k1, (N_CLIPS, n), jnp.float32)
-    candidate = 0.2 * jax.random.normal(k2, (N_CLIPS, n), jnp.float32)
+    gen = jax.jit(  # fused scale: no set-sized transient (see main())
+        lambda k: 0.2 * jax.random.normal(k, (N_CLIPS, n), jnp.float32)
+    )
+    reference = gen(k1)
+    candidate = gen(k2)
     am = AudioMetrics(
         metrics=["fad", "kd", "prdc"],
         embedder=_vggish_embedder(),
         mix_function="L0",
         win_dur=CLIP_SECONDS,
         input_sr=sr,
-        batch_size=min(BATCH_SIZE, N_CLIPS),
+        # 512 cap: the VGGish conv stack keeps several f32 layer buffers
+        # live per batch — batch 2048 on the 8192-clip set OOM'd v5e HBM
+        # on top of the resident waveforms (2026-08-21)
+        batch_size=min(BATCH_SIZE, N_CLIPS, 512),
     )
     t0 = time.perf_counter()
     am.add_reference(reference)
@@ -457,7 +479,7 @@ def main_vggish():
                 "detail": {
                     "mode": "vggish",
                     "n_clips": N_CLIPS,
-                    "batch_size": BATCH_SIZE,
+                    "batch_size": am.batch_size,
                     "warmup_s": round(warmup_s, 2),
                     "add_reference_s": round(t_ref, 2),
                     "evaluate_s": round(t_eval, 2),
