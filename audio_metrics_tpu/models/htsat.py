@@ -651,12 +651,24 @@ def _patch_merging_gather(x, params, prefix, cfg: HTSATConfig, resolution: int):
     return _linear(x, params, f"{prefix}.reduction")
 
 
-def _use_pallas_merge() -> bool:
-    return (
-        not os.environ.get("AM_TPU_NO_PALLAS")
-        and not os.environ.get("AM_TPU_NO_FUSED_MERGE")
-        and jax.default_backend() == "tpu"
-    )
+def _use_pallas_merge(stage: int = -1) -> bool:
+    """Per-stage fused-merge dispatch (AM_TPU_FUSED_MERGE_STAGES, comma
+    list of stage indices; default all).  The round-5 phase ledger flagged
+    merge 2 (16x16, C=512->1024) at 1.57 ms/128 standalone vs the conv
+    form's historical 0.22 — the per-stage table lets an in-context A/B
+    decide each merge separately.  Read per trace; a toggle after the
+    first forward is ignored by the jit cache (same caveat as
+    AM_TPU_NO_PALLAS)."""
+    if os.environ.get("AM_TPU_NO_PALLAS") or os.environ.get(
+        "AM_TPU_NO_FUSED_MERGE"
+    ):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    stages = os.environ.get("AM_TPU_FUSED_MERGE_STAGES")
+    if stages is None:
+        return True
+    return str(stage) in {s.strip() for s in stages.split(",")}
 
 
 def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
@@ -688,7 +700,9 @@ def _patch_merging(x, params, prefix, cfg: HTSATConfig, resolution: int):
     oc = w_io.shape[1]
     wg = (g[:, None] * w_io).reshape(4, c, oc)
 
-    if _use_pallas_merge() and h % 2 == 0 and w % 2 == 0:
+    # stage index from the resolution (merge s runs at grid_size / 2^s)
+    merge_stage = (cfg.grid_size // resolution).bit_length() - 1
+    if _use_pallas_merge(merge_stage) and h % 2 == 0 and w % 2 == 0:
         from ..ops.merge import patch_merge_pallas
 
         return patch_merge_pallas(
