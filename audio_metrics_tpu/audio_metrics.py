@@ -230,6 +230,41 @@ class AudioMetrics:
             self.stem_reference = AudioMetricsData(self.store_stem_embeddings)
             self.stem_reference_pca = None
 
+    def precompile(self, n_items: int = 256) -> None:
+        """Compile and register every device program for an eval set of
+        ``n_items`` windows (add_reference AND evaluate paths) on synthetic
+        on-device audio, then restore the instance's reference state.
+
+        Production warm-up hook (no reference equivalent): on
+        remote-attached accelerators each program's first execution pays
+        compile + executable registration — seconds to minutes depending on
+        link state (bench.py's warmup ledger attributes it per program).
+        Calling this at process start moves that cost off the first real
+        ``evaluate``.  Programs are cached per input shape: use the same
+        window count and ``batch_size`` as production traffic, and enable
+        the persistent compile cache (``AM_TPU_COMPILE_CACHE=1``) so even
+        the compiles survive process restarts.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        snapshot = {a: getattr(self, a) for a in self._amd}
+        snapshot["apa_d_x_xp"] = self.apa_d_x_xp
+        sr = self.input_sr if self.input_sr is not None else self.embedder.sr
+        win = int(round(self.win_dur * sr))
+        shape = (n_items, win, 2) if self.need_apa else (n_items, win)
+        gen = jax.jit(
+            lambda k: 0.2 * jax.random.normal(k, shape, jnp.float32)
+        )
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        try:
+            self.reset_reference()
+            self.add_reference(gen(k1))
+            self.evaluate(gen(k2))
+        finally:
+            for a, v in snapshot.items():
+                setattr(self, a, v)
+
     # ------------------------------------------------------------------
     # PCA projections (lazy, cached; reference audio_metrics.py:163-209)
     # ------------------------------------------------------------------

@@ -419,13 +419,28 @@ def _run_fused_embed(embedder, w, n, batch_size, mesh):
         nn, s1, m2 = jax.device_get((nn, s1, m2))
         triples = [(nn[i], s1[i], m2[i]) for i in range(nn.shape[0])]
         return buf, triples
-    pad = (-w.shape[0]) % batch_size
-    if pad:
-        w = jnp.pad(w, ((0, pad), (0, 0)))
-    loop = _get_fused_embed_loop(embedder, batch_size)
-    buf, nn, s1, m2 = loop(
-        getattr(embedder, "params", {}), w, _n_valid_dev(int(n))
-    )
+    params = getattr(embedder, "params", {})
+    while True:
+        pad = (-w.shape[0]) % batch_size
+        wp = jnp.pad(w, ((0, pad), (0, 0))) if pad else w
+        loop = _get_fused_embed_loop(embedder, batch_size)
+        try:
+            buf, nn, s1, m2 = loop(params, wp, _n_valid_dev(int(n)))
+            break
+        except Exception as exc:
+            # HBM exhaustion surfaces synchronously at compile/enqueue (XLA
+            # preallocates the program's output+temp buffers); halve the
+            # batch and retry — the forward's working set scales with it,
+            # the per-clip math does not.  Anything else re-raises, as does
+            # exhaustion at a batch too small to plausibly be the cause.
+            if "RESOURCE_EXHAUSTED" not in str(exc) or batch_size <= 64:
+                raise
+            batch_size //= 2
+            logger.warning(
+                "fused embed loop exhausted device memory; retrying at "
+                "batch_size=%d",
+                batch_size,
+            )
     # NO host sync here: n is host-known (the loop's mask counts exactly the
     # first n rows) and s1/m2 stay in flight — AudioMetricsData merges them
     # lazily, so the (d, d) transfer overlaps the KD/PRDC device sweeps in

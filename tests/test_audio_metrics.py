@@ -259,3 +259,40 @@ def test_lazy_tail_flush_order_equivalent(monkeypatch):
     assert results[False].keys() == results[True].keys()
     for k in results[False]:
         np.testing.assert_array_equal(results[False][k], results[True][k]), k
+
+
+def test_precompile_preserves_state():
+    """precompile() warms every program shape on synthetic audio and must
+    leave the instance's reference state untouched."""
+    import numpy as np
+
+    from audio_metrics_tpu import AudioMetrics
+    from audio_metrics_tpu.models import DummyEmbedder
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    data = (0.3 * rng.normal(size=(8, 5 * sr))).astype(np.float32)
+    am = AudioMetrics(
+        metrics=["fad", "kd", "prdc"],
+        embedder=DummyEmbedder(),
+        win_dur=5.0,
+        input_sr=sr,
+        batch_size=4,
+    )
+    am.add_reference(data)
+    before = am.evaluate(data)
+    am.precompile(n_items=8)
+    assert am.stem_reference.n == 8  # state restored, not replaced
+    after = am.evaluate(data)
+    for k in before:
+        assert abs(before[k] - after[k]) < 1e-9, k
+
+    # precompile on a fresh instance leaves the reference empty
+    am2 = AudioMetrics(
+        metrics=["fad"], embedder=DummyEmbedder(), win_dur=5.0, input_sr=sr
+    )
+    am2.precompile(n_items=4)
+    import pytest
+
+    with pytest.raises(ValueError):
+        am2.assert_reference()

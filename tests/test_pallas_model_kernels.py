@@ -885,6 +885,35 @@ def test_attention_v4_bf16_compiled_on_chip():
         assert np.isfinite(arr).all()
 
 
+def test_patch_merge_bf16_compiled_on_chip():
+    """Nightly-only: execute patch_merge_pallas compiled (non-interpret)
+    with bf16 operands at all three production shapes (64/32/16 res) so a
+    Mosaic lowering regression in the merge kernel localizes to this test
+    instead of failing inside the bench smoke's full forward."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires real TPU (nightly, AM_TPU_TEST_REAL=1)")
+    from audio_metrics_tpu.ops.merge import patch_merge_pallas
+
+    rng = np.random.default_rng(9)
+    for h, c in ((64, 128), (32, 256), (16, 512)):
+        oc = 2 * c
+        x = jnp.asarray(
+            rng.standard_normal((2, h * h, c)).astype(np.float32), jnp.bfloat16
+        )
+        g = jnp.asarray(rng.standard_normal(4 * c), jnp.float32)
+        be = jnp.asarray(rng.standard_normal(4 * c), jnp.float32)
+        w_io = jnp.asarray(
+            0.05 * rng.standard_normal((4 * c, oc)), jnp.float32
+        )
+        wg = (g[:, None] * w_io).reshape(4, c, oc).astype(jnp.bfloat16)
+        out = patch_merge_pallas(
+            x, wg, g @ w_io, be @ w_io, h=h, w=h, eps=1e-5
+        )
+        arr = np.asarray(out, np.float32)
+        assert arr.shape == (2, (h // 2) * (h // 2), oc)
+        assert np.isfinite(arr).all()
+
+
 def test_patch_merge_pallas_matches_conv_form(monkeypatch):
     """ops/merge.patch_merge_pallas (one-VMEM-pass quadrant merge) vs the
     XLA conv-form _patch_merging — same folded-LN algebra, so interpret-mode

@@ -382,3 +382,54 @@ def test_device_pad_matches_host_pad():
     assert e_dev.shape[0] == 5
     np.testing.assert_array_equal(e_dev, e_host)
     np.testing.assert_array_equal(m_dev, m_host)
+
+
+def test_fused_embed_oom_retry(monkeypatch):
+    """HBM exhaustion in the fused loop halves the batch and retries
+    (elastic degradation instead of a failed evaluate); unrelated errors
+    propagate unchanged."""
+    import jax.numpy as jnp
+
+    from audio_metrics_tpu.models import get_embedder
+    from audio_metrics_tpu.parallel import pipeline as pl
+
+    emb = get_embedder("dummy")
+    w = jnp.asarray(
+        np.random.default_rng(0).standard_normal((10, 16000)), jnp.float32
+    )
+
+    real_get = pl._get_fused_embed_loop
+    used = []
+
+    def flaky_get(embedder, batch_size):
+        loop = real_get(embedder, batch_size)
+
+        def wrapper(params, wp, nv):
+            used.append(batch_size)
+            if batch_size > 128:
+                raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+            return loop(params, wp, nv)
+
+        return wrapper
+
+    monkeypatch.setattr(pl, "_get_fused_embed_loop", flaky_get)
+    buf, triples = pl._run_fused_embed(emb, w, 10, batch_size=512, mesh=None)
+    assert used == [512, 256, 128]
+    assert buf.shape[0] >= 10
+    (n, s1, m2) = triples[0]
+    assert int(n) == 10
+
+    # non-OOM errors propagate
+    def broken_get(embedder, batch_size):
+        def wrapper(params, wp, nv):
+            raise RuntimeError("something else entirely")
+
+        return wrapper
+
+    monkeypatch.setattr(pl, "_get_fused_embed_loop", broken_get)
+    try:
+        pl._run_fused_embed(emb, w, 10, batch_size=512, mesh=None)
+    except RuntimeError as exc:
+        assert "something else" in str(exc)
+    else:  # pragma: no cover
+        raise AssertionError("expected RuntimeError")
