@@ -18,7 +18,7 @@ import os
 from pathlib import Path
 
 from .data import AudioMetricsData, flush_pending_stats
-from .metrics.fad import fad_device_tail, frechet_distance
+from .metrics.fad import fad_device_tail, fad_inf_parts, frechet_distance
 from .metrics.kd import kernel_distance
 from .metrics.prdc import prdc
 from .metrics.apa import apa, apa_compute_d_x_xp
@@ -40,7 +40,7 @@ logger = logging.getLogger(__name__)
 
 class AudioMetrics:
     # metrics that need the full embeddings (not just mu, sigma)
-    _need_embeddings = set(("kd", "precision", "prdc"))
+    _need_embeddings = set(("kd", "precision", "prdc", "fad_inf"))
     # AudioMetricsData attributes included in serialization
     _amd = (
         "stem_reference",
@@ -420,6 +420,15 @@ class AudioMetrics:
                 prdc(stem_ref, stem_cand, k, mesh=self.mesh, lazy="parts")
             )
             self.timings["prdc_dispatch"] = _time.perf_counter() - _t0
+        if "fad_inf" in self.metrics:
+            # beyond-reference extension: sample-bias-corrected FAD via
+            # subset-size extrapolation (metrics/fad.py::fad_inf_parts);
+            # rides the same lazy-parts protocol and coalesced pull
+            _t0 = _time.perf_counter()
+            parts = fad_inf_parts(stem_cand, stem_ref)
+            if parts is not None:
+                pending.append(parts)
+            self.timings["fad_inf_dispatch"] = _time.perf_counter() - _t0
 
         result = {}
         fad_thread = None

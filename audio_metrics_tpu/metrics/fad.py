@@ -31,6 +31,7 @@ __all__ = [
     "_frechet_distance",
     "trace_sqrtm_product",
     "fad_device_tail",
+    "fad_inf_parts",
 ]
 
 
@@ -298,3 +299,120 @@ def frechet_distance(
             )
         )
     return float(_frechet_distance(x.mean, x.cov, y.mean, y.cov, method=method))
+
+
+# ----------------------------------------------------------------------
+# FAD-inf (beyond-reference extension)
+# ----------------------------------------------------------------------
+# Plain FAD carries an O(d/N) positive sample bias: the candidate
+# covariance estimated from N embeddings systematically inflates the
+# distance, so FAD values at different eval-set sizes are not comparable.
+# FAD-inf removes the bias the way FID-inf/KID do for images: compute the
+# FAD at several subset sizes s and extrapolate linearly in 1/s to
+# 1/s -> 0.  The reference library does not implement this; the key is
+# exposed as ``fad_inf`` and documented as an extension (README).
+#
+# TPU shape: all subset statistics are computed in ONE jitted program —
+# per-subset 0/1 row masks (no gathers: masked matmuls are MXU-native),
+# batched similarity transforms against the cached reference Cholesky and
+# a vmapped Newton-Schulz trace-sqrt.  Only (S, d) subset means and two
+# (S,) scalar vectors cross the link; the intercept fit is a host
+# least-squares on S points.
+
+
+@lru_cache(maxsize=None)
+def _fad_inf_program(d: int, s_points: int, ns_iter: int):
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def run(emb, mask, counts, l):
+        # emb (n, d) f32, mask (S, n) f32, counts (S,) f32, l (d, d) f32
+        s1 = jnp.dot(mask, emb, precision=hi)  # (S, d)
+        mu = s1 / counts[:, None]
+
+        def subset_cov(m_row, mu_row, cnt):
+            xc = (emb - mu_row[None, :]) * m_row[:, None]  # centered+masked
+            return jnp.dot(xc.T, xc, precision=hi) / (cnt - 1.0)
+
+        cov = jax.vmap(subset_cov)(mask, mu, counts)  # (S, d, d)
+        tr = jnp.trace(cov, axis1=1, axis2=2)  # (S,)
+
+        def transform(c):
+            m = jnp.dot(l.T, jnp.dot(c, l, precision=hi), precision=hi)
+            return _ns_trace_sqrt_sym(0.5 * (m + m.T), ns_iter)
+
+        trsqrt = jax.vmap(transform)(cov)  # (S,)
+        return mu, tr, trsqrt
+
+    return jax.jit(run)
+
+
+def fad_inf_parts(
+    cand: AudioMetricsData,
+    ref: AudioMetricsData,
+    n_points: int = 8,
+    min_frac: float = 0.25,
+    seed: int = 1234,
+):
+    """Dispatch the FAD-inf subset sweep; returns ``(device_arrays,
+    host_reduce)`` matching the lazy metric protocol (kd/prdc), or None
+    when raw candidate embeddings or a reference Cholesky factor are
+    unavailable (host_reduce then cannot run; the caller skips the key).
+
+    Subset sizes are ``n_points`` distinct sizes from ``min_frac*n`` to n
+    (the last point is the full set); each subset is drawn without
+    replacement from ``default_rng(seed)``.  The returned reduce fits
+    FAD(s) = fad_inf + c/s by least squares and emits
+    ``{"fad_inf": intercept, "fad_inf_slope": c}``.
+    """
+    import jax.numpy as jnp
+
+    emb = cand.embeddings_device
+    if emb is None:
+        e_host = cand.embeddings
+        if e_host is None:
+            return None
+        emb = jnp.asarray(np.asarray(e_host, np.float32))
+    n, d = int(emb.shape[0]), int(emb.shape[1])
+    if n <= d + 1:
+        return None  # subset covariances would all be rank-deficient
+    l = ref.chol_cov()
+    if l is None or l.shape[0] != d:
+        return None
+    l_dev = _ref_chol_device(ref, l)
+
+    sizes = np.unique(
+        np.round(np.linspace(max(d + 2, min_frac * n), n, n_points)).astype(
+            np.int64
+        )
+    )
+    rng = np.random.default_rng(seed)
+    mask = np.zeros((len(sizes), n), np.float32)
+    for i, s in enumerate(sizes):
+        idx = np.arange(n) if s == n else rng.permutation(n)[:s]
+        mask[i, idx] = 1.0
+
+    run = _fad_inf_program(d, len(sizes), _ns_iters())
+    arrs = run(
+        jnp.asarray(emb, jnp.float32),
+        jnp.asarray(mask),
+        jnp.asarray(sizes, jnp.float32),
+        l_dev,
+    )
+    mu_ref = np.asarray(ref.mean, np.float64)
+    tr_ref = float(np.trace(np.asarray(ref.cov, np.float64)))
+
+    def reduce_fn(host_arrs):
+        mu_s, tr_s, trsqrt_s = (np.asarray(a, np.float64) for a in host_arrs)
+        fads = (
+            np.sum((mu_s - mu_ref[None, :]) ** 2, axis=1)
+            + tr_s
+            + tr_ref
+            - 2.0 * trsqrt_s
+        )
+        slope, intercept = np.polyfit(1.0 / sizes.astype(np.float64), fads, 1)
+        return {"fad_inf": float(intercept), "fad_inf_slope": float(slope)}
+
+    return arrs, reduce_fn
