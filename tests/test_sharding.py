@@ -450,3 +450,38 @@ def test_dcn_public_api_matches_single():
         np.testing.assert_allclose(
             r_multi[k], r_single[k], rtol=2e-3, atol=1e-6, err_msg=k
         )
+
+
+@requires_8_devices
+def test_fad_inf_sharded_matches_single():
+    """fad_inf's subset-sweep program must accept mesh-sharded candidate
+    embedding buffers (GSPMD handles the masked matmuls) and agree with the
+    single-device value through the public API."""
+    rng = np.random.default_rng(9)
+    sr = 16000
+    reference = rng.random((40, 5 * sr))
+    candidate = rng.random((40, 5 * sr))
+
+    def build(device_indices):
+        return AudioMetrics(
+            embedder=FullRankDummy(),
+            mix_function=mix_func,
+            metrics=["fad", "fad_inf"],
+            device_indices=device_indices,
+            batch_size=16,
+        )
+
+    am_multi = build(None)
+    assert am_multi.mesh is not None and am_multi.mesh.size == 8
+    am_multi.add_reference(reference)
+    r_multi = am_multi.evaluate(candidate)
+
+    am_single = build([0])
+    am_single.add_reference(reference)
+    r_single = am_single.evaluate(candidate)
+
+    assert "fad_inf" in r_multi and "fad_inf" in r_single
+    for k in ("fad", "fad_inf", "fad_inf_slope"):
+        np.testing.assert_allclose(
+            r_multi[k], r_single[k], rtol=2e-3, atol=1e-6
+        )
