@@ -17,10 +17,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
+
+# Some environments preimport jax with a preselected platform (a
+# sitecustomize), which silently overrides the JAX_PLATFORMS env var; make
+# the env var authoritative for CLI runs (same guard as the examples).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _iter_wav_dir(path: Path):
@@ -131,7 +140,7 @@ def main(argv=None) -> int:
     ev.add_argument("--candidate", help="directory of candidate .wav files")
     ev.add_argument(
         "--metrics", nargs="+", default=["fad", "kd", "prdc"],
-        choices=["fad", "kd", "prdc", "apa"],
+        choices=["fad", "fad_inf", "kd", "prdc", "apa"],
     )
     ev.add_argument("--embedder", default=None, help="registry name (default: laion_clap_music)")
     ev.add_argument("--mix-function", default=None, help="registry name (default: L0)")
